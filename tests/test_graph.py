@@ -1,0 +1,226 @@
+"""Graph layer tests: DSL parser, generators, surgery, mutations."""
+
+import numpy as np
+import pytest
+
+from tneq_tpu.graph import (
+    CircuitGraph,
+    MutableGraph,
+    build_brick_wall_incidence,
+    incidence_to_graph,
+    merge_graphs,
+    mps_graph,
+    parse_graph,
+    random_graph,
+    split_graph,
+    tree_graph,
+    wall_graph,
+)
+from tneq_tpu.graph.dsl import get_symbol
+
+
+# The reference's canonical 5-qubit example (qctn.py:464-469)
+EXAMPLE = (
+    "-2-----B-5-C-3-D-----2-\n"
+    "-2-A-4---------D-----2-\n"
+    "-2-A-4-B-7-C-2-D-4-E-2-\n"
+    "-2-A-3-B-6---------E-2-\n"
+    "-2---------C-8-----E-2-"
+)
+
+
+class TestParser:
+    def test_simple_two_qubit(self):
+        g = parse_graph("-2-A-2-\n-2-B-2-")
+        assert g.nqubits == 2
+        assert g.core_names == ("A", "B")
+        a = g.cores[0]
+        assert a.input_shape == (2,) and a.output_shape == (2,)
+        assert a.in_edges[0].neighbor == -1 and a.in_edges[0].qubit == 0
+
+    def test_core_ordering_is_symbol_order(self):
+        # lowercase letters sort before uppercase in opt_einsum symbol order
+        g = parse_graph("-2-a-2-\n-2-B-2-")
+        assert g.core_names == ("a", "B")
+
+    def test_example_graph_shapes(self):
+        g = parse_graph(EXAMPLE)
+        assert g.nqubits == 5
+        assert g.core_names == ("A", "B", "C", "D", "E")
+        shapes = g.shapes
+        # A: inputs on qubits 1,2,3 (rank 2 each); outputs: bonds 4,4,3
+        assert shapes["A"] == (2, 2, 2, 4, 4, 3)
+        # B: in = (2, 4(A,q2), 3(A,q3)); out = (5(q0->C), 7(q2->C), 6(q3))
+        assert shapes["B"] == (2, 4, 3, 5, 7, 6)
+        # E: in = (4(D,q2), 6(B,q3)? ...) check via parser invariants instead
+        b = g.cores[1]
+        assert [e.qubit for e in b.in_edges] == [0, 2, 3]
+        assert [e.qubit for e in b.out_edges] == [0, 2, 3]
+
+    def test_bond_direction(self):
+        g = parse_graph("-2-A-3-B-2-")
+        a, b = g.cores
+        assert a.out_edges[0].neighbor == 1 and a.out_edges[0].rank == 3
+        assert b.in_edges[0].neighbor == 0 and b.in_edges[0].rank == 3
+
+    def test_input_output_ranks(self):
+        g = parse_graph(EXAMPLE)
+        assert g.input_ranks == (2, 2, 2, 2, 2)
+        assert g.output_ranks == (2, 2, 2, 2, 2)
+
+    def test_signature_stable_and_hashable(self):
+        g1 = parse_graph(EXAMPLE)
+        g2 = parse_graph(EXAMPLE)
+        assert g1 == g2 and hash(g1) == hash(g2)
+        g3 = parse_graph("-2-A-2-\n-2-B-2-")
+        assert g1 != g3
+
+    def test_multidigit_ranks(self):
+        g = parse_graph("-12-A-34-B-56-")
+        a, b = g.cores
+        assert a.input_shape == (12,) and a.output_shape == (34,)
+        assert b.input_shape == (34,) and b.output_shape == (56,)
+
+    def test_malformed_line_raises(self):
+        with pytest.raises(ValueError):
+            parse_graph("-2-A-2-\n-------")
+
+    def test_qubit_cores_order(self):
+        g = parse_graph(EXAMPLE)
+        assert g.qubit_cores(0) == ["B", "C", "D"]
+        assert g.qubit_cores(2) == ["A", "B", "C", "D", "E"]
+
+
+class TestGenerators:
+    def test_mps(self):
+        g = parse_graph(mps_graph(4, dim=3))
+        assert g.nqubits == 4 and g.ncores == 3
+        # middle cores have shape (3 input, 3 bond) x2
+        assert g.cores[1].shape == (3, 3, 3, 3)
+
+    def test_tree(self):
+        g = parse_graph(tree_graph(6, dim=3))
+        assert g.nqubits == 6 and g.ncores == 5
+
+    def test_wall(self):
+        g = parse_graph(wall_graph(4, layers=4, dim=2))
+        assert g.nqubits == 4
+        # every core is a 2-qubit rank-2 gate
+        for c in g.cores:
+            assert c.shape == (2, 2, 2, 2)
+
+    def test_random_parses(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            src = random_graph(5, 4, rng=rng)
+            g = parse_graph(src)
+            assert g.nqubits == 5
+
+    def test_brick_wall_incidence(self):
+        inc = build_brick_wall_incidence(8, 5, rank=2)
+        assert inc.shape == (8, 35)
+        # every core touches exactly 2 qubits
+        assert ((inc > 0).sum(axis=0) == 2).all()
+        src = incidence_to_graph(inc)
+        g = parse_graph(src)
+        assert g.nqubits == 8 and g.ncores == 35
+        for c in g.cores:
+            assert c.shape == (2, 2, 2, 2)
+            assert c.input_dim == c.output_dim == 4
+
+    def test_incidence_masking(self):
+        inc = build_brick_wall_incidence(4, 3, rank=2)
+        masked = inc.copy()
+        masked[:, [0, 4]] = 0
+        g = parse_graph(incidence_to_graph(masked))
+        assert g.ncores == inc.shape[1] - 2
+
+    def test_incidence_display_mask(self):
+        inc = build_brick_wall_incidence(4, 1, rank=2)
+        s = incidence_to_graph(inc, mask_list=[0], for_display=True, mask_char="#")
+        assert "#" in s
+
+
+class TestSurgery:
+    def test_split_mps(self):
+        src = mps_graph(4, dim=3)
+        left, right = split_graph(src, 2)
+        gl, gr = parse_graph(left), parse_graph(right)
+        assert gl.ncores == 2 and gr.ncores == 1
+
+    def test_split_interleaved_raises(self):
+        # B before A on a line where both groups present
+        src = "-2-A-2-B-2-\n-2-B-2-A-2-"
+        with pytest.raises(ValueError):
+            split_graph(src, 1)
+
+    def test_merge_roundtrip_shapes(self):
+        src = mps_graph(4, dim=3)
+        left, right = split_graph(src, 2)
+        merged, m1, m2 = merge_graphs(left, right)
+        gm = parse_graph(merged)
+        g0 = parse_graph(src)
+        assert gm.ncores == g0.ncores
+        assert sorted(gm.shapes.values()) == sorted(g0.shapes.values())
+
+    def test_merge_different_heights(self):
+        a = "-2-A-2-\n-2-A-2-"
+        b = "-3-B-3-\n-3-B-3-\n-3-B-3-"
+        merged, m1, m2 = merge_graphs(a, b)
+        g = parse_graph(merged)
+        assert g.nqubits == 3
+        assert g.ncores == 2
+
+
+class TestMutableGraph:
+    SRC = "-2-A-3-B-2-\n-2-A-4-C-2-\n-2-B-5-C-2-"
+
+    def test_roundtrip(self):
+        g = MutableGraph(self.SRC)
+        assert g.n_qubits == 3
+        assert g.tensor_names == ["A", "B", "C"]
+        g2 = parse_graph(g.to_dsl())
+        g0 = parse_graph(self.SRC)
+        assert g2.signature == g0.signature
+
+    def test_modify_bond(self):
+        g = MutableGraph(self.SRC)
+        g.modify_bond(0, "A", 7)
+        parsed = parse_graph(g.to_dsl())
+        a = parsed.cores[parsed.name_to_index["A"]]
+        assert any(e.rank == 7 for e in a.out_edges)
+
+    def test_modify_last_raises(self):
+        g = MutableGraph(self.SRC)
+        with pytest.raises(ValueError):
+            g.modify_bond(0, "B", 7)
+
+    def test_remove_middle_min(self):
+        g = MutableGraph("-2-A-3-B-4-C-2-")
+        g.remove_tensor_from_qubit(0, "B", bond_mode="min")
+        assert g.to_dsl() == "-2-A-3-C-2-"
+
+    def test_remove_edge(self):
+        g = MutableGraph("-2-A-3-B-2-")
+        g.remove_tensor_from_qubit(0, "A")
+        assert g.tensor_names == ["B"]
+        parse_graph(g.to_dsl())
+
+    def test_insert_between(self):
+        g = MutableGraph("-2-A-3-C-2-\n-2-A-3-C-2-")
+        name = g.insert_tensor_after(0, "A", insert_mode="first")
+        assert name == "B"
+        parsed = parse_graph(g.to_dsl())
+        assert "B" in parsed.core_names
+
+    def test_insert_no_space_raises(self):
+        g = MutableGraph("-2-A-3-B-2-")
+        with pytest.raises(ValueError):
+            g.insert_tensor_after(0, "A")
+
+    def test_zero_bond_roundtrip(self):
+        g = MutableGraph("-2-A-----B-2-\n-2-A-3-B-2-")
+        assert g.lines[0][0][2] == 0
+        out = g.to_dsl()
+        g2 = MutableGraph(out)
+        assert g2.lines[0][0][2] == 0

@@ -1,0 +1,26 @@
+"""tneq_tpu — TPU-native Quantum Circuit Tensor Network (QCTN) framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``yuchencong/quantum_circuits_symmetry_breaking_based_on_tneq-qc``:
+
+- ASCII graph-DSL circuit description -> immutable :class:`CircuitGraph`
+  (reference: ``tneq_qc/core/qctn.py:456-760``)
+- Siamese Born-rule contraction engine with Hermite-polynomial feature maps
+  (reference: ``tneq_qc/core/engine_siamese.py``)
+- Riemannian (Stiefel / Cayley) optimizers as optax-style transforms
+  (reference: ``tneq_qc/optim/stiefel_optimizer_complex.py``)
+- Probability / sampling inference APIs
+- Mesh-sharded data/model parallelism via ``jax.sharding`` (replaces the
+  reference's MPI / torch.distributed stack, ``tneq_qc/distributed/``)
+- Genetic circuit-structure search (replaces the MPI overlord/agent farm,
+  ``tneq_qc/distributed/mpi_*.py``)
+- The symmetry-breaking pruning experiment (``symmetry_breaking_quantum.py``)
+
+Design: one contraction engine, pure functions, static shapes, everything hot
+inside ``jax.jit``; no translation of the reference's torch/MPI patterns.
+"""
+
+__version__ = "0.1.0"
+
+from .graph import CircuitGraph, Edge, CoreSpec, parse_graph
+from .model import QCTN
