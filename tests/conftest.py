@@ -2,19 +2,23 @@
 
 All tests run on CPU with 8 virtual devices so sharding / multi-chip code
 paths are exercised without TPU hardware (the driver separately dry-runs the
-multi-chip path).  Must run before jax is imported anywhere.
+multi-chip path).  Note: this container's sitecustomize registers the axon
+TPU plugin and sets ``jax_platforms=axon,cpu`` at interpreter start, so the
+env var alone is not enough — we must update the jax config explicitly.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"

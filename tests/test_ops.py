@@ -1,0 +1,243 @@
+"""Ops tests: Hermite features, contraction correctness vs independent ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tneq_tpu.graph import parse_graph, wall_graph, mps_graph
+from tneq_tpu.model import QCTN
+from tneq_tpu.model.qctn import init_params, orthogonal_core
+from tneq_tpu.ops import (
+    contract_cores,
+    generate_data,
+    hermite_phi,
+    hermite_weights,
+    make_siamese_fn,
+    make_two_network_fn,
+    make_core_only_fn,
+    measurement_matrices,
+)
+from tneq_tpu.ops.contract import make_with_inputs_fn, abs_square
+
+
+def reference_hermite_phi(x: np.ndarray, K: int) -> np.ndarray:
+    """Independent float64 implementation of the reference feature map
+    (engine_siamese.py:59-131, 212-235): raw He_k recurrence + weights."""
+    x = np.asarray(x, dtype=np.float64)
+    H = np.zeros((K,) + x.shape)
+    H[0] = 1.0
+    if K > 1:
+        H[1] = x
+        for i in range(2, K):
+            H[i] = x * H[i - 1] - (i - 1) * H[i - 2]
+    k = np.arange(K, dtype=np.float64)
+    from math import lgamma
+
+    logw = -0.5 * (0.5 * np.log(2 * np.pi) + np.array([lgamma(ki + 1) for ki in k]))
+    w = np.exp(logw)
+    gauss = np.sqrt(np.exp(-(x**2) / 2.0))
+    phi = np.transpose(H, (1, 2, 0))  # [B, D, K]
+    return w[None, None, :] * gauss[..., None] * phi
+
+
+class TestHermite:
+    def test_weights_match_reference(self):
+        w = np.asarray(hermite_weights(10))
+        from math import lgamma
+
+        expect = np.exp(
+            [-0.5 * (0.5 * np.log(2 * np.pi) + lgamma(k + 1)) for k in range(11)]
+        )
+        np.testing.assert_allclose(w, expect, rtol=1e-6)
+
+    @pytest.mark.parametrize("K", [1, 2, 5, 20])
+    def test_phi_matches_reference(self, K):
+        x = np.linspace(-4, 4, 13).reshape(-1, 1) @ np.ones((1, 3))
+        got = np.asarray(hermite_phi(jnp.asarray(x), K))
+        expect = reference_hermite_phi(x, K)
+        np.testing.assert_allclose(got, expect, atol=2e-5)
+
+    def test_phi_stable_at_large_K(self):
+        # The raw reference recurrence overflows float32 here; ours must not.
+        x = jnp.full((2, 1), 5.0)
+        phi = hermite_phi(x, 120)
+        assert bool(jnp.all(jnp.isfinite(phi)))
+
+    def test_mx_rank_one_projector(self):
+        x = jnp.asarray([[0.3, -1.2]])
+        mx = measurement_matrices(x, 6)  # [1, 2, 6, 6]
+        phi = hermite_phi(x, 6)
+        expect = np.einsum("bdk,bdl->bdkl", np.asarray(phi), np.asarray(phi))
+        np.testing.assert_allclose(np.asarray(mx), expect, atol=1e-6)
+
+    def test_mx_completeness(self):
+        # ∫ φ_k(x) φ_l(x) dx = δ_kl (orthonormal Hermite functions)
+        K = 5
+        xs = np.linspace(-12, 12, 6001)
+        phi = np.asarray(hermite_phi(jnp.asarray(xs[:, None]), K))[:, 0, :]
+        gram = phi.T @ phi * (xs[1] - xs[0])
+        np.testing.assert_allclose(gram, np.eye(K), atol=1e-4)
+
+    def test_generate_data_shapes(self):
+        mx_list, phi = generate_data(jnp.zeros((7, 3)), K=4)
+        assert len(mx_list) == 3 and mx_list[0].shape == (7, 4, 4)
+        assert phi.shape == (7, 3, 4)
+
+
+class TestInit:
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.complex64])
+    def test_orthogonal_square(self, dtype):
+        q = orthogonal_core(jax.random.PRNGKey(1), (2, 2, 2, 2), dtype)
+        m = np.asarray(q).reshape(4, 4)
+        np.testing.assert_allclose(m.conj().T @ m, np.eye(4), atol=1e-5)
+
+    def test_isometry_nonsquare(self):
+        q = orthogonal_core(jax.random.PRNGKey(2), (3, 6), jnp.float32)
+        m = np.asarray(q)
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-5)
+
+    def test_init_params_shapes(self):
+        g = parse_graph(wall_graph(4, layers=4, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0))
+        for c in g.cores:
+            assert params[c.name].shape == c.shape
+
+
+class TestContraction:
+    def test_core_only_unitary_circuit(self):
+        """Brick wall of unitary cores => full circuit matrix is unitary."""
+        g = parse_graph(wall_graph(4, layers=4, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        t = np.asarray(contract_cores(g, params, order="qubit"))
+        n_in = int(np.prod(t.shape[:4]))
+        m = t.reshape(n_in, -1)
+        np.testing.assert_allclose(m.conj().T @ m, np.eye(n_in), atol=1e-4)
+
+    def test_with_inputs_matches_core_only(self):
+        g = parse_graph(mps_graph(3, dim=2))
+        params = init_params(g, jax.random.PRNGKey(3), jnp.complex64)
+        t = np.asarray(contract_cores(g, params, order="qubit"))  # [i0,i1,i2,o0,o1,o2]
+        rng = np.random.default_rng(0)
+        states = [
+            jnp.asarray((rng.normal(size=2) + 1j * rng.normal(size=2)).astype(np.complex64))
+            for _ in range(3)
+        ]
+        out = make_with_inputs_fn(g, batched=False)(params, states)
+        expect = np.einsum(
+            "abcdef,a,b,c->def",
+            t,
+            np.asarray(states[0]),
+            np.asarray(states[1]),
+            np.asarray(states[2]),
+        )
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+    def test_siamese_identity_measure_is_norm(self):
+        """With M = I per qubit, siamese = ⟨ψ_out|ψ_out⟩ = 1 for unitary circuit."""
+        g = parse_graph(wall_graph(4, layers=2, dim=2))
+        params = init_params(g, jax.random.PRNGKey(4), jnp.complex64)
+        states = [jnp.asarray([1.0 + 0j, 0.0]) for _ in range(4)]
+        eye = jnp.tile(jnp.eye(2, dtype=jnp.complex64)[None], (3, 1, 1))
+        measures = [eye for _ in range(4)]
+        fn = make_siamese_fn(g, with_states=True, states_batched=False)
+        val = np.asarray(fn(params, states, measures))
+        np.testing.assert_allclose(val, np.ones(3), atol=1e-5)
+
+    def test_siamese_matches_dense_computation(self):
+        """Siamese value == ⟨ψ_out|(⊗M_q)|ψ_out⟩ computed densely."""
+        g = parse_graph(mps_graph(3, dim=2))
+        params = init_params(g, jax.random.PRNGKey(5), jnp.complex64)
+        rng = np.random.default_rng(1)
+        states = [
+            jnp.asarray((rng.normal(size=2) + 1j * rng.normal(size=2)).astype(np.complex64))
+            for _ in range(3)
+        ]
+        B, K = 2, 2
+        measures = [
+            jnp.asarray(rng.normal(size=(B, K, K)).astype(np.float32)).astype(jnp.complex64)
+            for _ in range(3)
+        ]
+        fn = make_siamese_fn(g)
+        got = np.asarray(fn(params, states, measures))
+
+        psi = np.asarray(make_with_inputs_fn(g, batched=False)(params, states))  # [o0,o1,o2]
+        expect = np.einsum(
+            "abc,nad,nbe,ncf,def->n",
+            psi,
+            np.asarray(measures[0]),
+            np.asarray(measures[1]),
+            np.asarray(measures[2]),
+            psi.conj(),
+        )
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    def test_siamese_batched_states(self):
+        g = parse_graph(mps_graph(2, dim=2))
+        params = init_params(g, jax.random.PRNGKey(6), jnp.complex64)
+        B = 4
+        s = jnp.tile(jnp.asarray([1.0 + 0j, 0.0])[None], (B, 1))
+        proj = jnp.tile(
+            jnp.asarray([[1.0, 0.0], [0.0, 0.0]], dtype=jnp.complex64)[None], (B, 1, 1)
+        )
+        fn = make_siamese_fn(g, states_batched=True)
+        val = fn(params, [s, s], [proj, proj])
+        assert val.shape == (B,)
+        # batched result equals unbatched result replicated
+        fn1 = make_siamese_fn(g, states_batched=False)
+        v1 = fn1(params, [s[0], s[0]], [proj[:1], proj[:1]])
+        np.testing.assert_allclose(np.asarray(val), np.full(B, np.asarray(v1)[0]), atol=1e-6)
+
+    def test_siamese_stacked_extra_dim(self):
+        """measure_extra_dims=2 supports the conditional-probability stacking."""
+        g = parse_graph(mps_graph(2, dim=2))
+        params = init_params(g, jax.random.PRNGKey(7), jnp.complex64)
+        B = 3
+        proj = jnp.tile(
+            jnp.asarray([[1.0, 0.0], [0.0, 0.0]], dtype=jnp.complex64)[None], (B, 1, 1)
+        )
+        eye = jnp.tile(jnp.eye(2, dtype=jnp.complex64)[None], (B, 1, 1))
+        stacked0 = jnp.stack([proj, proj], axis=1)  # (B, 2, K, K)
+        stacked1 = jnp.stack([proj, eye], axis=1)
+        states = [jnp.asarray([1.0 + 0j, 0.0])] * 2
+        fn = make_siamese_fn(g, states_batched=False, measure_extra_dims=2)
+        val = fn(params, states, [stacked0, stacked1])
+        assert val.shape == (B, 2)
+        # slice 0 equals plain joint contraction
+        fn1 = make_siamese_fn(g)
+        joint = fn1(params, states, [proj, proj])
+        np.testing.assert_allclose(np.asarray(val[:, 0]), np.asarray(joint), atol=1e-6)
+
+    def test_two_network_overlap(self):
+        g = parse_graph(mps_graph(3, dim=2))
+        p1 = init_params(g, jax.random.PRNGKey(8), jnp.complex64)
+        p2 = init_params(g, jax.random.PRNGKey(9), jnp.complex64)
+        fn = make_two_network_fn(g, g, conj_target=True)
+        got = np.asarray(fn(p1, p2))
+        t1 = np.asarray(contract_cores(g, p1, order="qubit")).ravel()
+        t2 = np.asarray(contract_cores(g, p2, order="qubit")).ravel()
+        np.testing.assert_allclose(got, t1 @ t2.conj(), atol=1e-5)
+
+    def test_reference_output_order_differs_from_qubit(self):
+        # On the 5-qubit reference example, core-iteration boundary order is
+        # a (known) permutation of the qubit order.
+        src = (
+            "-2-----B-5-C-3-D-----2-\n"
+            "-2-A-4---------D-----2-\n"
+            "-2-A-4-B-7-C-2-D-4-E-2-\n"
+            "-2-A-3-B-6---------E-2-\n"
+            "-2---------C-8-----E-2-"
+        )
+        g = parse_graph(src)
+        params = init_params(g, jax.random.PRNGKey(10), jnp.float32)
+        t_ref = np.asarray(contract_cores(g, params, order="reference"))
+        t_q = np.asarray(contract_cores(g, params, order="qubit"))
+        assert t_ref.shape == t_q.shape == (2,) * 10
+        np.testing.assert_allclose(np.sort(t_ref.ravel()), np.sort(t_q.ravel()), atol=1e-5)
+
+    def test_jit_compatible(self):
+        g = parse_graph(mps_graph(3, dim=2))
+        params = init_params(g, jax.random.PRNGKey(11), jnp.complex64)
+        fn = jax.jit(make_core_only_fn(g))
+        out = fn(params)
+        assert out.shape == (2,) * 6

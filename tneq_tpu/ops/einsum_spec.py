@@ -1,0 +1,268 @@
+"""Einsum specification builders: CircuitGraph -> static einsum equations.
+
+This is the single place contraction topology is turned into equations.  It
+replaces the reference's four overlapping builders (``EinsumStrategy``,
+``GreedyStrategy``, ``MPSChainStrategy``, ``ContractorOptEinsum`` —
+``tneq_qc/contractor/*``, ``tneq_qc/backends/copteinsum.py``): on TPU one
+einsum lowered through XLA covers all of them, with the pairwise schedule
+chosen by opt_einsum at trace time and fused by the compiler.
+
+Symbol scheme for the siamese ⟨ψ|M|ψ⟩ network (reference semantics:
+``einsum_strategy.py:418-620``, with its operand/qubit-order mismatches
+fixed — states and measurement operators here bind to their qubit index):
+
+- per qubit q: ``s_in[q]``/``s_out[q]`` (ket-side boundary), mirrored
+  ``t_in[q]``/``t_out[q]`` (bra side)
+- per internal bond: one ket symbol + one mirrored bra symbol
+- measurement operator on qubit q carries ``batch + s_out[q] + t_out[q]``
+- output is the batch symbol(s)
+
+The bra-side cores are fed conjugated by the compute layer (Born rule),
+matching the runtime GreedyStrategy path (``greedy_strategy.py:676-680``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+from ..graph.dsl import CircuitGraph, get_symbol
+
+__all__ = [
+    "EinsumSpec",
+    "core_only_spec",
+    "siamese_spec",
+    "two_network_spec",
+    "with_inputs_spec",
+]
+
+
+@dataclass(frozen=True)
+class EinsumSpec:
+    """A fully-resolved einsum contraction plan.
+
+    ``equation`` is the einsum string; ``operands`` names each operand slot in
+    order, as tuples ``(kind, key)`` with kind in
+    {'core', 'core_conj', 'state', 'state_conj', 'measure', 'target_core'}
+    and key the core name or qubit index.
+    """
+
+    equation: str
+    operands: Tuple[Tuple[str, object], ...]
+    output_shape_hint: Tuple[object, ...] = ()
+
+    @property
+    def n_operands(self) -> int:
+        return len(self.operands)
+
+
+class _Symbols:
+    def __init__(self):
+        self.n = 0
+
+    def next(self) -> str:
+        s = get_symbol(self.n)
+        self.n += 1
+        return s
+
+
+def _bond_symbols(graph: CircuitGraph, sym: _Symbols) -> Dict[Tuple[int, int, int], str]:
+    """Assign one symbol per internal bond, keyed (min_core, max_core, qubit).
+
+    Matches the reference's edge_symbol_map keying
+    (``einsum_strategy.py:165-183``): a repeated contact of the same core
+    pair on the same qubit shares one index.
+    """
+    bonds: Dict[Tuple[int, int, int], str] = {}
+    for core in graph.cores:
+        for e in core.out_edges:
+            if e.neighbor >= 0:
+                key = (min(core.index, e.neighbor), max(core.index, e.neighbor), e.qubit)
+                if key not in bonds:
+                    bonds[key] = sym.next()
+    return bonds
+
+
+def _core_subscript(
+    graph: CircuitGraph,
+    core_idx: int,
+    bonds: Dict[Tuple[int, int, int], str],
+    s_in: Dict[int, str],
+    s_out: Dict[int, str],
+) -> str:
+    """Subscript for one core: in-edge symbols then out-edge symbols."""
+    core = graph.cores[core_idx]
+    sub = ""
+    for e in core.in_edges:
+        if e.neighbor == -1:
+            sub += s_in[e.qubit]
+        else:
+            sub += bonds[(min(core_idx, e.neighbor), max(core_idx, e.neighbor), e.qubit)]
+    for e in core.out_edges:
+        if e.neighbor == -1:
+            sub += s_out[e.qubit]
+        else:
+            sub += bonds[(min(core_idx, e.neighbor), max(core_idx, e.neighbor), e.qubit)]
+    return sub
+
+
+def _boundary_symbols(
+    graph: CircuitGraph, sym: _Symbols, order: str = "reference"
+) -> Tuple[Dict[int, str], Dict[int, str], List[str]]:
+    """Allocate boundary symbols.
+
+    order='reference': symbols allocated (and the boundary output list built)
+    in core-iteration order, in-edges before out-edges per core — the exact
+    dense-tensor axis order of ``build_core_only_expression``
+    (``einsum_strategy.py:137-194``), so target tensors are interchangeable
+    with the reference.  order='qubit': inputs by qubit then outputs by qubit.
+    """
+    s_in: Dict[int, str] = {}
+    s_out: Dict[int, str] = {}
+    boundary: List[str] = []
+    if order == "reference":
+        for core in graph.cores:
+            for e in core.in_edges:
+                if e.neighbor == -1:
+                    s_in[e.qubit] = sym.next()
+                    boundary.append(s_in[e.qubit])
+            for e in core.out_edges:
+                if e.neighbor == -1:
+                    s_out[e.qubit] = sym.next()
+                    boundary.append(s_out[e.qubit])
+    elif order == "qubit":
+        for q in range(graph.nqubits):
+            s_in[q] = sym.next()
+        for q in range(graph.nqubits):
+            s_out[q] = sym.next()
+        boundary = [s_in[q] for q in range(graph.nqubits)] + [
+            s_out[q] for q in range(graph.nqubits)
+        ]
+    else:
+        raise ValueError(f"unknown boundary order {order!r}")
+    return s_in, s_out, boundary
+
+
+@lru_cache(maxsize=256)
+def core_only_spec(graph: CircuitGraph, order: str = "reference") -> EinsumSpec:
+    """Contract all cores, boundary legs open -> dense circuit tensor."""
+    sym = _Symbols()
+    s_in, s_out, boundary = _boundary_symbols(graph, sym, order)
+    bonds = _bond_symbols(graph, sym)
+    subs = [
+        _core_subscript(graph, i, bonds, s_in, s_out) for i in range(graph.ncores)
+    ]
+    eq = ",".join(subs) + "->" + "".join(boundary)
+    ops = tuple(("core", c.name) for c in graph.cores)
+    return EinsumSpec(eq, ops)
+
+
+@lru_cache(maxsize=256)
+def with_inputs_spec(graph: CircuitGraph, batched: bool = True) -> EinsumSpec:
+    """Apply the circuit to per-qubit input vectors -> output-boundary tensor.
+
+    Operands: per-qubit state vectors (``(B, rank)`` if batched else
+    ``(rank,)``) followed by the cores.  Output: batch + output legs in qubit
+    order.  (Reference: ``build_with_vector_inputs_expression``,
+    ``einsum_strategy.py:258-318``.)
+    """
+    sym = _Symbols()
+    batch = sym.next() if batched else ""
+    s_in, s_out, _ = _boundary_symbols(graph, sym, "qubit")
+    bonds = _bond_symbols(graph, sym)
+    subs = [batch + s_in[q] for q in range(graph.nqubits)]
+    subs += [_core_subscript(graph, i, bonds, s_in, s_out) for i in range(graph.ncores)]
+    out = batch + "".join(s_out[q] for q in range(graph.nqubits))
+    ops = tuple(("state", q) for q in range(graph.nqubits)) + tuple(
+        ("core", c.name) for c in graph.cores
+    )
+    return EinsumSpec(",".join(subs) + "->" + out, ops)
+
+
+@lru_cache(maxsize=256)
+def siamese_spec(
+    graph: CircuitGraph,
+    with_states: bool = True,
+    states_batched: bool = False,
+    measure_extra_dims: int = 1,
+) -> EinsumSpec:
+    """⟨ψ|M|ψ⟩ Born-rule network: cores, measurement operators, conj cores.
+
+    measure_extra_dims: number of leading batch-like axes on each per-qubit
+    measurement operator (1 for ``(B, K, K)``, 2 for the stacked conditional
+    ``(B, 2, K, K)`` trick, 0 for unbatched ``(K, K)``).  The result keeps
+    those axes.  (Reference: ``build_with_self_expression``,
+    ``einsum_strategy.py:418-620``; conditional stacking
+    ``engine_siamese.py:689-719``.)
+    """
+    sym = _Symbols()
+    batch_syms = "".join(sym.next() for _ in range(measure_extra_dims))
+    state_batch = batch_syms[:1] if (states_batched and batch_syms) else ""
+
+    s_in, s_out, _ = _boundary_symbols(graph, sym, "qubit")
+    t_in = {q: sym.next() for q in range(graph.nqubits)}
+    t_out = {q: sym.next() for q in range(graph.nqubits)}
+    bonds = _bond_symbols(graph, sym)
+    mirror_bonds = {k: sym.next() for k in bonds}
+
+    subs: List[str] = []
+    ops: List[Tuple[str, object]] = []
+
+    if with_states:
+        for q in range(graph.nqubits):
+            subs.append(state_batch + s_in[q])
+            ops.append(("state", q))
+
+    for i in range(graph.ncores):
+        subs.append(_core_subscript(graph, i, bonds, s_in, s_out))
+        ops.append(("core", graph.cores[i].name))
+
+    for q in range(graph.nqubits):
+        subs.append(batch_syms + s_out[q] + t_out[q])
+        ops.append(("measure", q))
+
+    for i in reversed(range(graph.ncores)):
+        subs.append(_core_subscript(graph, i, mirror_bonds, t_in, t_out))
+        ops.append(("core_conj", graph.cores[i].name))
+
+    if with_states:
+        for q in range(graph.nqubits):
+            subs.append(state_batch + t_in[q])
+            ops.append(("state_conj", q))
+
+    eq = ",".join(subs) + "->" + batch_syms
+    return EinsumSpec(eq, tuple(ops))
+
+
+@lru_cache(maxsize=256)
+def two_network_spec(graph1: CircuitGraph, graph2: CircuitGraph) -> EinsumSpec:
+    """⟨network2 | network1⟩: glue input↔input and output↔output -> scalar.
+
+    Both circuits must share boundary ranks per qubit.  The second network's
+    cores are fed conjugated (fidelity overlap); for the reference's
+    unconjugated variant (``build_with_qctn_expression``,
+    ``einsum_strategy.py:320-416``) pass real tensors.
+    """
+    if graph1.nqubits != graph2.nqubits:
+        raise ValueError("networks must have the same number of qubits")
+    if (
+        graph1.input_ranks != graph2.input_ranks
+        or graph1.output_ranks != graph2.output_ranks
+    ):
+        raise ValueError("boundary ranks must match to glue the two networks")
+    sym = _Symbols()
+    s_in = {q: sym.next() for q in range(graph1.nqubits)}
+    s_out = {q: sym.next() for q in range(graph1.nqubits)}
+    bonds1 = _bond_symbols(graph1, sym)
+    bonds2 = _bond_symbols(graph2, sym)
+    subs = [
+        _core_subscript(graph1, i, bonds1, s_in, s_out) for i in range(graph1.ncores)
+    ]
+    subs += [
+        _core_subscript(graph2, i, bonds2, s_in, s_out) for i in range(graph2.ncores)
+    ]
+    ops = tuple(("core", c.name) for c in graph1.cores) + tuple(
+        ("target_core", c.name) for c in graph2.cores
+    )
+    return EinsumSpec(",".join(subs) + "->", ops)
