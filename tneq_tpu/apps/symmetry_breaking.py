@@ -1,0 +1,276 @@
+"""Symmetry-breaking experiment: iterative core pruning on a brick-wall QCTN.
+
+TPU-native rebuild of ``symmetry_breaking_quantum.py`` + ``train.py``:
+
+1. build a brick-wall incidence matrix;
+2. draw a random *target* network with a fixed set of cores masked out and
+   contract it to a dense target tensor;
+3. validate the target by refitting a fresh full network to fidelity
+   1-F < 1e-3 with Stiefel SGD (lr=1, momentum=0.9, <=4000 steps);
+4. repeatedly try to prune one more core: mask it, refit a fresh network
+   (lr=1e-2, <=5000 steps) and keep the core pruned if fidelity recovers.
+
+TPU-first difference: pruning is a *dynamic mask input* to one compiled
+fidelity-fit program (see :mod:`tneq_tpu.train.fit`), so the candidate loop
+never recompiles, where the reference rebuilds graph + einsum path + torch
+training loop per candidate.  Masked-core == identity-gate equivalence makes
+the two formulations numerically identical.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.dsl import CircuitGraph, parse_graph
+from ..graph.generators import build_brick_wall_incidence, incidence_to_graph
+from ..model.qctn import init_params
+from ..optim.stiefel import sgdg
+from ..train.fit import make_masked_fidelity_fit
+
+__all__ = [
+    "SymmetryBreakingConfig",
+    "make_experiment",
+    "target_tensor_init",
+    "validate_target_tensor",
+    "symmetry_breaking",
+    "main",
+]
+
+
+@dataclass
+class SymmetryBreakingConfig:
+    n_qubits: int = 8
+    n_cells: int = 5
+    rank: int = 2
+    dtype: object = jnp.complex64
+    validate_lr: float = 1.0
+    validate_steps: int = 4000
+    prune_lr: float = 1e-2
+    prune_steps: int = 5000
+    momentum: float = 0.9
+    tol: float = 1e-3
+    max_outer_iterations: int = 500
+    seed: int = 0
+
+    @property
+    def n_cores(self) -> int:
+        return (self.n_qubits - 1) * self.n_cells
+
+
+class Experiment:
+    """Compiled state for one brick-wall topology: graph + two fit programs."""
+
+    def __init__(self, cfg: SymmetryBreakingConfig):
+        self.cfg = cfg
+        self.incidence = build_brick_wall_incidence(
+            cfg.n_qubits, cfg.n_cells, cfg.rank
+        )
+        self.graph: CircuitGraph = parse_graph(incidence_to_graph(self.incidence))
+        self.validate_fit = make_masked_fidelity_fit(
+            self.graph,
+            sgdg(cfg.validate_lr, momentum=cfg.momentum, stiefel=True),
+            max_steps=cfg.validate_steps,
+            tol=cfg.tol,
+            dtype=cfg.dtype,
+        )
+        self.prune_fit = make_masked_fidelity_fit(
+            self.graph,
+            sgdg(cfg.prune_lr, momentum=cfg.momentum, stiefel=True),
+            max_steps=cfg.prune_steps,
+            tol=cfg.tol,
+            dtype=cfg.dtype,
+        )
+
+    def mask_vector(self, masked: Sequence[int]) -> jax.Array:
+        m = np.ones(self.graph.ncores, np.float32)
+        m[list(masked)] = 0.0
+        return jnp.asarray(m)
+
+    def row_would_empty(self, masked: Sequence[int]) -> bool:
+        """True if masking these cores leaves some qubit row with no cores
+        (the reference skips such candidates,
+        ``symmetry_breaking_quantum.py:204-206``)."""
+        inc = self.incidence.copy()
+        inc[:, list(masked)] = 0
+        return bool(((inc > 0).sum(axis=1) == 0).any())
+
+
+def make_experiment(cfg: Optional[SymmetryBreakingConfig] = None) -> Experiment:
+    return Experiment(cfg or SymmetryBreakingConfig())
+
+
+def target_tensor_init(
+    exp: Experiment, target_mask_list: Sequence[int], key: jax.Array
+) -> jax.Array:
+    """Random masked network -> dense target tensor
+    (reference ``symmetry_breaking_quantum.py:128-146``)."""
+    from ..ops.contract import make_core_only_fn
+    from ..train.fit import identity_cores
+
+    params = init_params(exp.graph, key, exp.cfg.dtype)
+    mask = exp.mask_vector(target_mask_list)
+    idents = identity_cores(exp.graph, exp.cfg.dtype)
+    eff = {
+        n: mask[i].astype(exp.cfg.dtype) * params[n]
+        + (1 - mask[i]).astype(exp.cfg.dtype) * idents[n]
+        for i, n in enumerate(exp.graph.core_names)
+    }
+    return make_core_only_fn(exp.graph)(eff)
+
+
+def validate_target_tensor(
+    exp: Experiment, target: jax.Array, key: jax.Array
+) -> Tuple[bool, float, int]:
+    """Refit a fresh full network to the target; success at 1-F < tol
+    (reference ``symmetry_breaking_quantum.py:150-177``)."""
+    params = init_params(exp.graph, key, exp.cfg.dtype)
+    full_mask = exp.mask_vector([])
+    res = exp.validate_fit(params, full_mask, target)
+    infid = float(res.infidelity)
+    return infid < exp.cfg.tol, 1.0 - infid, int(res.steps)
+
+
+def symmetry_breaking(
+    exp: Experiment,
+    target: jax.Array,
+    key: jax.Array,
+    verbose: bool = True,
+) -> Tuple[List[int], int]:
+    """Greedy pruning loop (reference ``symmetry_breaking_quantum.py:184-242``).
+
+    Returns ``(pruned_list, prune_count)`` — the indices successfully pruned
+    and how many candidate fits were attempted.
+    """
+    cfg = exp.cfg
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key))[-1])
+    pruned: List[int] = []
+    prune_count = 0
+    candidates = list(range(exp.graph.ncores))
+
+    for outer in range(cfg.max_outer_iterations):
+        pruned_any = False
+        if len(pruned) == len(candidates):
+            break
+        rng.shuffle(candidates)
+        for idx in candidates:
+            if idx in pruned:
+                continue
+            prune_count += 1
+            trial = pruned + [idx]
+            if exp.row_would_empty(trial):
+                if verbose:
+                    print(f"  skip core {idx}: would empty a qubit row")
+                continue
+            key, sub = jax.random.split(key)
+            params = init_params(exp.graph, sub, cfg.dtype)
+            res = exp.prune_fit(params, exp.mask_vector(trial), target)
+            infid = float(res.infidelity)
+            if infid < cfg.tol:
+                pruned = trial
+                pruned_any = True
+                if verbose:
+                    print(
+                        f"  pruned core {idx} (now {len(pruned)} pruned), "
+                        f"fidelity={1 - infid:.6f}, steps={int(res.steps)}"
+                    )
+            elif verbose:
+                print(f"  core {idx} not prunable (1-F={infid:.3e})")
+        if not pruned_any:
+            break
+    return pruned, prune_count
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    """CLI driver mirroring ``train.py``: generate + validate targets, then
+    run repeated symmetry-breaking restarts keeping the best pruned set."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="QCTN symmetry-breaking experiment")
+    p.add_argument("--n-qubits", type=int, default=8)
+    p.add_argument("--n-cells", type=int, default=5)
+    p.add_argument("--rank", type=int, default=2)
+    p.add_argument("--restarts", type=int, default=20)
+    p.add_argument("--validate-steps", type=int, default=4000)
+    p.add_argument("--prune-steps", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--target-mask", type=int, nargs="*", default=None)
+    p.add_argument("--save", type=str, default=None, help="save best run JSON")
+    args = p.parse_args(argv)
+
+    cfg = SymmetryBreakingConfig(
+        n_qubits=args.n_qubits,
+        n_cells=args.n_cells,
+        rank=args.rank,
+        validate_steps=args.validate_steps,
+        prune_steps=args.prune_steps,
+        seed=args.seed,
+    )
+    exp = make_experiment(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    if args.target_mask is None:
+        # the reference 8-qubit experiment mask (train.py:30); fall back to a
+        # random quarter of the cores for other sizes
+        if cfg.n_qubits == 8 and cfg.n_cells == 5:
+            target_mask = [2, 3, 5, 8, 9, 12, 13, 14, 15, 17, 18, 20, 21, 23,
+                           25, 26, 29, 31, 32, 33]
+        else:
+            rng = np.random.default_rng(cfg.seed)
+            target_mask = sorted(
+                rng.choice(cfg.n_cores, size=max(1, cfg.n_cores // 4), replace=False)
+                .tolist()
+            )
+    else:
+        target_mask = args.target_mask
+
+    print(f"brick wall: {cfg.n_qubits} qubits x {cfg.n_cells} cells "
+          f"({exp.graph.ncores} cores); target mask: {target_mask}")
+
+    # generate + validate target
+    t0 = time.time()
+    while True:
+        key, k1, k2 = jax.random.split(key, 3)
+        target = target_tensor_init(exp, target_mask, k1)
+        ok, fid, steps = validate_target_tensor(exp, target, k2)
+        print(f"target validation: fidelity={fid:.6f} in {steps} steps "
+              f"({'ok' if ok else 'regenerating'})")
+        if ok:
+            break
+    print(f"target ready in {time.time() - t0:.1f}s")
+
+    best_pruned: List[int] = []
+    total_attempts = 0
+    for restart in range(args.restarts):
+        key, sub = jax.random.split(key)
+        print(f"=== restart {restart} ===")
+        pruned, count = symmetry_breaking(exp, target, sub)
+        total_attempts += count
+        if len(pruned) > len(best_pruned):
+            best_pruned = pruned
+
+    print(incidence_to_graph(exp.incidence, mask_list=target_mask,
+                             for_display=True, mask_char="#"))
+    print(f"best: pruned {len(best_pruned)}/{exp.graph.ncores} cores "
+          f"({total_attempts} attempts): {sorted(best_pruned)}")
+    result = {
+        "pruned": sorted(best_pruned),
+        "attempts": total_attempts,
+        "n_cores": exp.graph.ncores,
+        "target_mask": list(target_mask),
+    }
+    if args.save:
+        import json
+
+        with open(args.save, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Jitted fit-to-convergence loops for fidelity training.
+
+TPU-first design of the symmetry-breaking inner loop
+(``symmetry_breaking_quantum.py:150-242``): instead of rebuilding a new
+graph + einsum expression for every pruning candidate (the reference pays an
+opt_einsum path search and a fresh Python training loop each time), the FULL
+brick-wall network is compiled ONCE with a dynamic per-core mask input:
+
+    effective_core_i = mask_i · params_i + (1 - mask_i) · identity_i
+
+A pruned rank-preserving core replaced by the identity gate contracts to
+exactly the same network value as removing it from the graph, so flipping a
+mask bit reuses the same XLA executable — no recompilation storm, and the
+whole N-thousand-step Stiefel fit runs on-device inside one
+``lax.while_loop`` with early exit at the fidelity tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.dsl import CircuitGraph
+from ..model.qctn import init_params
+from ..ops.contract import make_core_only_fn
+from ..optim.stiefel import GradientTransformation
+from .losses import fidelity
+
+__all__ = ["identity_cores", "make_masked_fidelity_fit", "FitResult"]
+
+
+def identity_cores(graph: CircuitGraph, dtype=jnp.complex64):
+    """Per-core identity gates: I reshaped to the core's (in+out) shape.
+
+    Requires input_dim == output_dim per core (true for all gate-style
+    circuits; the brick wall has 4x4 cores).  Contracting a core chain with
+    one of these is equivalent to deleting that core from the graph.
+    """
+    out = {}
+    for core in graph.cores:
+        if core.input_dim != core.output_dim:
+            raise ValueError(
+                f"core {core.name!r} has input_dim {core.input_dim} != "
+                f"output_dim {core.output_dim}; identity masking undefined"
+            )
+        eye = jnp.eye(core.input_dim, dtype=dtype)
+        out[core.name] = eye.reshape(core.shape)
+    return out
+
+
+class FitResult(NamedTuple):
+    params: dict
+    infidelity: jax.Array  # 1 - fidelity at exit
+    steps: jax.Array  # steps actually taken
+    opt_state: object
+
+
+def make_masked_fidelity_fit(
+    graph: CircuitGraph,
+    optimizer: GradientTransformation,
+    max_steps: int,
+    tol: float = 1e-3,
+    dtype=jnp.complex64,
+    order: str = "reference",
+) -> Callable:
+    """Build ``fit(params, mask, target) -> FitResult``, fully jitted.
+
+    - ``mask``: float vector ``(ncores,)`` — 1 keeps the trained core, 0
+      substitutes the identity gate (pruned).  Dynamic input: every pruning
+      candidate reuses one compiled program.
+    - ``target``: dense target tensor with the graph's boundary legs (in
+      ``order`` axis convention).
+    - The loop exits early once ``1 - fidelity < tol`` (reference threshold,
+      ``symmetry_breaking_quantum.py:170,232``).
+    """
+    core_fn = make_core_only_fn(graph, order)
+    idents = identity_cores(graph, dtype)
+    names = graph.core_names
+
+    def effective(params, mask):
+        return {
+            n: mask[i].astype(dtype) * params[n]
+            + (1.0 - mask[i]).astype(dtype) * idents[n]
+            for i, n in enumerate(names)
+        }
+
+    def loss_fn(params, mask, target):
+        out = core_fn(effective(params, mask))
+        fid = fidelity(out, target)
+        return 1.0 - fid
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def fit(params, mask, target) -> FitResult:
+        opt_state = optimizer.init(params)
+
+        def cond(carry):
+            _, _, step, infid = carry
+            return jnp.logical_and(step < max_steps, infid >= tol)
+
+        def body(carry):
+            params, opt_state, step, _ = carry
+            infid, grads = grad_fn(params, mask, target)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, step + 1, infid)
+
+        init_carry = (params, opt_state, jnp.zeros((), jnp.int32), jnp.ones(()))
+        params_f, opt_state_f, steps, infid = jax.lax.while_loop(
+            cond, body, init_carry
+        )
+        # infid in the carry lags one step; report the exact exit value
+        final_infid = loss_fn(params_f, mask, target)
+        return FitResult(params_f, final_infid, steps, opt_state_f)
+
+    return fit
