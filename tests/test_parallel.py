@@ -1,0 +1,151 @@
+"""Parallel tests on the 8-device virtual CPU mesh: DP sharding, sliced MP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tneq_tpu.graph import parse_graph, wall_graph, mps_graph
+from tneq_tpu.model.qctn import init_params
+from tneq_tpu.ops import make_siamese_fn, measurement_matrices
+from tneq_tpu.parallel import (
+    choose_slice_bonds,
+    make_dp_train_step,
+    make_mesh,
+    make_sliced_siamese_fn,
+    shard_batch,
+)
+from tneq_tpu.train.trainer import Trainer, TrainingConfig, basis_states
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return parse_graph(wall_graph(4, layers=2, dim=2))
+
+
+@pytest.fixture(scope="module")
+def params(graph):
+    return init_params(graph, jax.random.PRNGKey(0), jnp.complex64)
+
+
+def measures_for(graph, x, dtype=jnp.complex64):
+    mx = measurement_matrices(x, 2).astype(dtype)
+    return [mx[:, q] for q in range(graph.nqubits)]
+
+
+class TestMesh:
+    def test_make_mesh_default(self):
+        mesh = make_mesh()
+        assert mesh.shape == {"data": 8}
+
+    def test_make_mesh_2d(self):
+        mesh = make_mesh({"data": 4, "model": 2})
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_bad_sizes_raise(self):
+        with pytest.raises(ValueError):
+            make_mesh({"data": 3})
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self, graph):
+        cfg = TrainingConfig(method="sgdg", learning_rate=0.05, momentum=0.9)
+        trainer = Trainer(graph, config=cfg)
+        params = init_params(graph, jax.random.PRNGKey(1), jnp.complex64)
+        states = basis_states(graph)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(16, graph.nqubits)),
+            jnp.float32,
+        )
+
+        # single-device reference step
+        opt_state = trainer.optimizer.init(params)
+        p1, _, loss1 = trainer.train_step(params, opt_state, states, x)
+
+        mesh = make_mesh({"data": 8})
+        dp_step = make_dp_train_step(trainer, mesh)
+        opt_state2 = trainer.optimizer.init(params)
+        xs = shard_batch(x, mesh)
+        p2, _, loss2 = dp_step(params, opt_state2, states, xs)
+
+        assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
+        for n in params:
+            np.testing.assert_allclose(
+                np.asarray(p1[n]), np.asarray(p2[n]), atol=5e-5
+            )
+
+    def test_dp_output_sharding(self, graph):
+        trainer = Trainer(graph, config=TrainingConfig(learning_rate=0.01))
+        mesh = make_mesh({"data": 8})
+        x = jnp.zeros((8, graph.nqubits), jnp.float32)
+        xs = shard_batch(x, mesh)
+        assert len(xs.sharding.device_set) == 8
+
+
+class TestSlicedModelParallel:
+    def test_choose_slice_bonds(self, graph):
+        bonds = choose_slice_bonds(graph, 2)
+        assert len(bonds) == 1
+        assert choose_slice_bonds(graph, 1) == ()
+        bonds4 = choose_slice_bonds(graph, 4)
+        assert len(bonds4) == 2
+
+    def test_choose_impossible_raises(self):
+        g = parse_graph(mps_graph(3, dim=3))  # bond ranks 3: no factor of 2
+        with pytest.raises(ValueError):
+            choose_slice_bonds(g, 2)
+
+    @pytest.mark.parametrize("model_size", [2, 4])
+    def test_sliced_matches_unsliced(self, graph, params, model_size):
+        mesh = make_mesh({"data": 8 // model_size, "model": model_size})
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(8, graph.nqubits)), jnp.float32
+        )
+        states = basis_states(graph)
+        measures = measures_for(graph, x)
+
+        full = make_siamese_fn(graph)(params, states, measures)
+        sliced_fn = make_sliced_siamese_fn(graph, mesh)
+        got = sliced_fn(params, states, measures)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(full), atol=1e-5
+        )
+
+    def test_sliced_is_differentiable(self, graph, params):
+        mesh = make_mesh({"data": 4, "model": 2})
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(size=(4, graph.nqubits)), jnp.float32
+        )
+        states = basis_states(graph)
+        measures = measures_for(graph, x)
+        from tneq_tpu.ops.contract import abs_square
+        from tneq_tpu.train.losses import nll_loss
+
+        sliced_fn = make_sliced_siamese_fn(graph, mesh)
+
+        def loss(p):
+            raw = sliced_fn(p, states, measures)
+            return nll_loss(abs_square(raw))
+
+        g_sliced = jax.grad(loss)(params)
+
+        full_fn = make_siamese_fn(graph)
+
+        def loss_full(p):
+            raw = full_fn(p, states, measures)
+            return nll_loss(abs_square(raw))
+
+        g_full = jax.grad(loss_full)(params)
+        for n in params:
+            np.testing.assert_allclose(
+                np.asarray(g_sliced[n]), np.asarray(g_full[n]), atol=1e-4
+            )
+
+    def test_sliced_under_jit(self, graph, params):
+        mesh = make_mesh({"data": 4, "model": 2})
+        x = jnp.zeros((4, graph.nqubits), jnp.float32)
+        states = basis_states(graph)
+        measures = measures_for(graph, x)
+        fn = jax.jit(make_sliced_siamese_fn(graph, mesh))
+        out = fn(params, states, measures)
+        assert out.shape == (4,)

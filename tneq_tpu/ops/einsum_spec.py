@@ -235,6 +235,75 @@ def siamese_spec(
     return EinsumSpec(eq, tuple(ops))
 
 
+def siamese_spec_sliced(
+    graph: CircuitGraph,
+    sliced_bonds: Tuple[Tuple[int, int, int], ...],
+    with_states: bool = True,
+    states_batched: bool = False,
+    measure_extra_dims: int = 1,
+):
+    """Siamese spec with chosen ket-side bonds turned into explicit slices.
+
+    ``sliced_bonds``: bond keys ``(min_core, max_core, qubit)``.  The returned
+    spec has those bond symbols REMOVED from the two cores sharing each bond;
+    contracting it for one combination of slice indices (after slicing those
+    cores' axes) yields a partial value, and summing over all combinations
+    reproduces the full siamese value.  Also returns
+    ``{core_name: ((bond_pos, axis), ...)}`` — which axis of which core to
+    slice for each bond (axis positions refer to the UNSLICED tensor).
+
+    This is the index-sliced contraction at the heart of the reference's
+    tensor-parallel reduce stage (``distributed_engine.py:1384-1499``), recast
+    so the slice axis can be sharded over a mesh axis and partials
+    ``psum``-reduced.
+    """
+    base = siamese_spec(graph, with_states, states_batched, measure_extra_dims)
+    subs_str, out = base.equation.split("->")
+    subs = subs_str.split(",")
+
+    # Recover the ket-side bond symbol for each bond key by rebuilding the
+    # same symbol allocation order as siamese_spec.
+    sym = _Symbols()
+    for _ in range(measure_extra_dims):
+        sym.next()
+    _boundary_symbols(graph, sym, "qubit")
+    for _ in range(2 * graph.nqubits):
+        sym.next()
+    bonds = _bond_symbols(graph, sym)
+
+    slice_axes: Dict[str, list] = {}
+    for b_i, key in enumerate(sliced_bonds):
+        if key not in bonds:
+            raise ValueError(f"{key} is not an internal bond of the graph")
+        symbol = bonds[key]
+        for op_i, (kind, name) in enumerate(base.operands):
+            if kind != "core":
+                continue
+            sub = subs[op_i]
+            count = sub.count(symbol)
+            if count == 0:
+                continue
+            if count > 1:
+                raise ValueError(
+                    f"core {name!r} touches bond {key} more than once; "
+                    f"slicing is ambiguous"
+                )
+            axis = sub.index(symbol)
+            slice_axes.setdefault(name, []).append((b_i, axis))
+            subs[op_i] = sub.replace(symbol, "")
+    spec = EinsumSpec(",".join(subs) + "->" + out, base.operands)
+    ranks = tuple(
+        next(
+            e.rank
+            for e in graph.cores[k[0]].out_edges + graph.cores[k[0]].in_edges
+            if e.qubit == k[2] and e.neighbor == k[1]
+        )
+        for k in sliced_bonds
+    )
+    slice_axes_t = {n: tuple(v) for n, v in slice_axes.items()}
+    return spec, slice_axes_t, ranks
+
+
 @lru_cache(maxsize=256)
 def two_network_spec(graph1: CircuitGraph, graph2: CircuitGraph) -> EinsumSpec:
     """⟨network2 | network1⟩: glue input↔input and output↔output -> scalar.

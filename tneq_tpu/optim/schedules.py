@@ -24,9 +24,9 @@ def step_table_schedule(table: Sequence[Tuple[int, float]], init_lr: float = Non
     if not table:
         raise ValueError("schedule table must be non-empty")
     table = sorted(table)
-    steps = jnp.asarray([s for s, _ in table], jnp.int32)
-    lrs = jnp.asarray([l for _, l in table], jnp.float32)
-    first = jnp.float32(init_lr if init_lr is not None else table[0][1])
+    steps = np.asarray([s for s, _ in table], np.int32)
+    lrs = np.asarray([l for _, l in table], np.float32)
+    first = np.float32(init_lr if init_lr is not None else table[0][1])
 
     def schedule(count):
         idx = jnp.sum(steps <= count) - 1

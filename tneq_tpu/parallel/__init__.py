@@ -1,0 +1,14 @@
+from .mesh import make_mesh, data_sharding, replicated
+from .dp import make_dp_train_step, shard_batch
+from .mp import choose_slice_bonds, make_sliced_siamese_fn, sliced_nll_loss
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "make_dp_train_step",
+    "shard_batch",
+    "choose_slice_bonds",
+    "make_sliced_siamese_fn",
+    "sliced_nll_loss",
+]

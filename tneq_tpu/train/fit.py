@@ -46,7 +46,9 @@ def identity_cores(graph: CircuitGraph, dtype=jnp.complex64):
                 f"core {core.name!r} has input_dim {core.input_dim} != "
                 f"output_dim {core.output_dim}; identity masking undefined"
             )
-        eye = jnp.eye(core.input_dim, dtype=dtype)
+        # host (numpy) constants: the axon TPU backend cannot host-copy
+        # closure-captured *device* arrays during jit lowering
+        eye = np.eye(core.input_dim, dtype=np.dtype(dtype))
         out[core.name] = eye.reshape(core.shape)
     return out
 
