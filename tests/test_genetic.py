@@ -1,0 +1,177 @@
+"""Genetic structure-search tests: individual, generation, evaluator, search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tneq_tpu.genetic import (
+    CandidateEvaluator,
+    EvolutionSearch,
+    Generation,
+    Individual,
+    REASONS,
+    default_fitness,
+)
+from tneq_tpu.graph import parse_graph
+from tneq_tpu.model.qctn import init_params
+
+
+class TestIndividual:
+    def test_create_full_connection(self):
+        ind = Individual.create_full_connection("G0/S/000", tn_size=3, tn_rank=2)
+        g = parse_graph(ind.graph.to_dsl())
+        assert g.ncores == 3 and g.nqubits == 3
+
+    def test_create_random_valid(self):
+        rng = np.random.default_rng(0)
+        for i in range(5):
+            ind = Individual.create_random(
+                f"G0/S/{i:03d}", tn_size=4, init_sparsity=0.3, rng=rng
+            )
+            parse_graph(ind.graph.to_dsl())
+
+    def test_sparsity_is_real_ratio(self):
+        dense = Individual.create_full_connection("a", tn_size=3, tn_rank=2)
+        assert 0 < dense.sparsity
+        # pruning a bond reduces sparsity (fewer parameters)
+        pruned = Individual("b", dense.graph.to_dsl())
+        pruned.graph.modify_bond(0, "A", 0)
+        pruned.sparsity = pruned._calculate_sparsity()
+        assert pruned.sparsity < dense.sparsity
+
+    def test_mutation_changes_graph_or_survives(self):
+        rng = np.random.default_rng(1)
+        ind = Individual.create_full_connection("m", tn_size=4, rng=rng)
+        before = ind.graph.to_dsl()
+        ind.mutate()
+        parse_graph(ind.graph.to_dsl())  # still valid
+
+    def test_fitness(self):
+        ind = Individual.create_full_connection("f", tn_size=3)
+        assert ind.calculate_fitness() == float("inf")
+        ind.set_training_result(0.1, 100)
+        assert ind.fitness_score == pytest.approx(
+            default_fitness(ind.sparsity, 0.1)
+        )
+
+    def test_discard_hard_timeout(self):
+        ind = Individual.create_full_connection(
+            "d", tn_size=3, discard_hard_timeout_result=True
+        )
+        ok = ind.set_training_result(0.5, 10, REASONS.HARD_TIMEOUT)
+        assert not ok and not ind.report_loss
+
+
+class TestGeneration:
+    GP = {
+        "n_societies": 1,
+        "evaluate_repeat": 2,
+        "society_property": {
+            "society": [dict(n_individuals_span=4)],
+        },
+    }
+
+    def test_init_and_queues(self):
+        gen = Generation(
+            name="G000", generation_property=self.GP, tn_size=3,
+            rng=np.random.default_rng(0),
+        )
+        assert len(gen.indv_to_distribute) == 4
+        assert not gen.is_finished()
+
+    def test_collect_with_repeat(self):
+        gen = Generation(
+            name="G000", generation_property=self.GP, tn_size=3,
+            rng=np.random.default_rng(0),
+        )
+        indv = gen.next_to_evaluate()
+        gen.collect_result(indv, 0.5, 10, REASONS.REACH_MAX_ITER)
+        assert not indv.status.finished  # needs a second evaluation
+        gen.collect_result(indv, 0.4, 10, REASONS.REACH_MAX_ITER)
+        assert indv.status.finished
+
+    def test_evolve_top_k(self):
+        gen = Generation(
+            name="G000",
+            generation_property=self.GP,
+            evolution_property={"top_k": 2, "n_copy": 3},
+            tn_size=3,
+            rng=np.random.default_rng(0),
+        )
+        for soc in gen.societies.values():
+            for i, indv in enumerate(soc.individuals):
+                indv.set_training_result(0.1 * i, 10)
+        gen.evaluate()
+        gen.evolve()
+        for soc in gen.societies.values():
+            assert len(soc.individuals) == 6  # 2 parents x 3 copies
+
+
+@pytest.fixture(scope="module")
+def goal():
+    graph = parse_graph(
+        Individual.create_full_connection("goal", tn_size=3, tn_rank=2).graph.to_dsl()
+    )
+    params = init_params(graph, jax.random.PRNGKey(0), jnp.float32)
+    return graph, params
+
+
+class TestEvaluator:
+    def test_evaluate_reduces_overlap_loss(self, goal):
+        graph, params = goal
+        ev = CandidateEvaluator(
+            graph, params, n_iter=10, max_iterations=100,
+            method="adam", learning_rate=5e-2,
+        )
+        losses, iters, reason = ev.evaluate(
+            graph.source, jax.random.PRNGKey(1), repeats=2
+        )
+        assert losses.shape == (2,)
+        assert np.isfinite(losses).all()
+        assert reason == REASONS.REACH_MAX_ITER
+        assert iters <= 100
+
+    def test_mismatched_boundary_raises(self, goal):
+        graph, params = goal
+        ev = CandidateEvaluator(graph, params)
+        with pytest.raises(ValueError):
+            ev.evaluate("-3-A-3-\n-3-A-3-\n-3-A-3-", jax.random.PRNGKey(0))
+
+    def test_compile_cache_reused(self, goal):
+        graph, params = goal
+        ev = CandidateEvaluator(graph, params, n_iter=5, max_iterations=10)
+        ev.evaluate(graph.source, jax.random.PRNGKey(0))
+        assert len(ev._cache) == 1
+        ev.evaluate(graph.source, jax.random.PRNGKey(1))
+        assert len(ev._cache) == 1  # same signature -> no recompile entry
+
+
+class TestSearch:
+    def test_small_search_runs(self, goal):
+        graph, params = goal
+        ev = CandidateEvaluator(
+            graph, params, n_iter=10, max_iterations=30,
+            method="adam", learning_rate=5e-2,
+        )
+        template = Individual.create_full_connection(
+            "t", tn_size=3, tn_rank=2
+        ).graph.to_dsl()
+        search = EvolutionSearch(
+            ev,
+            generation_property={
+                "evaluate_repeat": 1,
+                "society_property": {
+                    "society": [dict(n_individuals_span=3,
+                                     graph_string_template=template)],
+                },
+            },
+            evolution_property={"top_k": 2, "n_copy": 1},
+            max_generation=2,
+            tn_size=3,
+            verbose=False,
+        )
+        best = search.run()
+        assert best.fitness_score is not None
+        assert len(search.history) == 2
+        assert search.history[0]["evaluations"] >= 3

@@ -1,0 +1,256 @@
+"""Generation / Society: population bookkeeping and evolution.
+
+Rebuild of the reference ``Generation`` (``tneq_qc/genetic/mpi_generation.py:417-1003``):
+societies of individuals, distribute/collect queues with per-individual
+``evaluate_repeat``, ranking, and top-k × n_copy + mutate evolution.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from .codes import REASONS, default_fitness
+from .individual import Individual
+
+__all__ = ["Society", "Generation"]
+
+
+@dataclass
+class Society:
+    name: str
+    individuals: List[Individual] = field(default_factory=list)
+    indv_ranking: List[int] = field(default_factory=list)
+    score_total: List[float] = field(default_factory=list)
+    finished: bool = False
+    fitness_func: Callable = default_fitness
+
+    def __iter__(self):
+        for i in self.individuals:
+            yield i.scope, i
+
+    def __len__(self):
+        return len(self.individuals)
+
+    @property
+    def best(self) -> Optional[Individual]:
+        if not self.indv_ranking:
+            return None
+        return self.individuals[self.indv_ranking[0]]
+
+
+class Generation:
+    """One generation of the search.
+
+    ``generation_property`` keys (reference defaults,
+    ``mpi_generation.py:547-575``): ``n_societies`` (1), ``evaluate_repeat``
+    (2), ``sparsity_threshold`` (10.0), ``society_property.society`` — a list
+    of per-society dicts with ``n_individuals_span`` (20),
+    ``graph_string_template``, ``fitness_func``.
+    ``evolution_property``: ``top_k`` (5), ``n_copy`` (4), ``mutation_prob``.
+    """
+
+    def __init__(
+        self,
+        parent: Optional["Generation"] = None,
+        name: Optional[str] = None,
+        generation_property: Optional[Dict[str, Any]] = None,
+        evolution_property: Optional[Dict[str, Any]] = None,
+        rng: Optional[np.random.Generator] = None,
+        **kwds,
+    ):
+        self.name = name or "G000"
+        self.kwds = kwds
+        self.rng = rng or np.random.default_rng()
+        gp = dict(generation_property or {})
+        self.generation_property = gp
+        self.evaluate_repeat = gp.get("evaluate_repeat", 2)
+        self.evolution_property = dict(evolution_property or {})
+
+        self.indv_to_distribute: List[Individual] = []
+        self.indv_to_collect: List[Individual] = []
+        self.societies: Dict[str, Society] = {}
+
+        society_property = gp.get("society_property", {})
+        n_societies = gp.get("n_societies", 1)
+        params_list = society_property.get(
+            "society",
+            [dict(n_individuals_span=20, fitness_func=default_fitness)],
+        )
+        if len(params_list) == 1 and n_societies > 1:
+            params_list = params_list * n_societies
+        elif len(params_list) != n_societies:
+            raise ValueError(
+                "society params count does not match n_societies"
+            )
+        self.society_params_list = params_list
+
+        self._init_societies(parent)
+
+    # -- construction -----------------------------------------------------
+
+    def _new_individual(self, scope, graph_string, parents, fitness_func):
+        return Individual(
+            scope=scope,
+            graph_string=graph_string,
+            parents=parents,
+            fitness_func=fitness_func,
+            rng=self.rng,
+            **self.kwds,
+        )
+
+    def _init_societies(self, parent: Optional["Generation"]) -> None:
+        if parent is not None:
+            for name, soc in parent.societies.items():
+                new = Society(name=name, fitness_func=soc.fitness_func)
+                for idx, indv in enumerate(soc.individuals):
+                    scope = f"{self.name}/{name}/{idx:03d}"
+                    parents = (
+                        (indv.scope,)
+                        if not indv.parents
+                        else indv.parents + (indv.scope,)
+                    )
+                    new.individuals.append(
+                        self._new_individual(
+                            scope, indv.graph.to_dsl(), parents, soc.fitness_func
+                        )
+                    )
+                self.societies[name] = new
+                self.indv_to_distribute += new.individuals
+            return
+
+        for param in self.society_params_list:
+            n = param.get("n_individuals_span", 20)
+            fitness_func = param.get("fitness_func", default_fitness)
+            soc_name = "".join(
+                random.choice(string.ascii_uppercase + string.digits)
+                for _ in range(5)
+            )
+            soc = Society(name=soc_name, fitness_func=fitness_func)
+            template = param.get("graph_string_template")
+            for i in range(n):
+                scope = f"{self.name}/{soc_name}/{i:03d}"
+                if template:
+                    indv = self._new_individual(scope, template, (), fitness_func)
+                else:
+                    indv = Individual.create_random(
+                        scope,
+                        fitness_func=fitness_func,
+                        rng=self.rng,
+                        **self.kwds,
+                    )
+                soc.individuals.append(indv)
+            self.societies[soc_name] = soc
+            self.indv_to_distribute += soc.individuals
+
+    # -- work queue -------------------------------------------------------
+
+    def next_to_evaluate(self) -> Optional[Individual]:
+        """Pop the next individual needing evaluation (honors the sparsity
+        kill rule, reference ``mpi_overlord.py:199-247``)."""
+        threshold = self.generation_property.get("sparsity_threshold", 10.0)
+        while self.indv_to_distribute:
+            indv = self.indv_to_distribute.pop(0)
+            if indv.status.finished:
+                continue
+            if np.log10(max(indv.sparsity, 1e-300)) < threshold:
+                self.indv_to_collect.append(indv)
+                return indv
+            # too dense: assign a fake (very bad) result and drop
+            indv.set_training_result(1e9, -1, REASONS.FAKE_RESULT)
+            indv.status.finished = True
+        return None
+
+    def collect_result(
+        self, indv: Individual, loss: float, iterations: int, reason: int
+    ) -> None:
+        indv.set_training_result(loss, iterations, reason)
+        indv.status.repeated += 1
+        if indv.status.repeated >= self.evaluate_repeat:
+            indv.status.finished = True
+        else:
+            # queue for another evaluation round
+            self.indv_to_distribute.append(indv)
+            if indv in self.indv_to_collect:
+                self.indv_to_collect.remove(indv)
+
+    def is_finished(self) -> bool:
+        return all(
+            i.status.finished
+            for soc in self.societies.values()
+            for i in soc.individuals
+        )
+
+    # -- ranking + evolution ----------------------------------------------
+
+    def evaluate(self) -> None:
+        """Rank every society by fitness (lower is better)."""
+        for soc in self.societies.values():
+            scores = []
+            for indv in soc.individuals:
+                if indv.report_loss:
+                    indv.calculate_fitness()
+                    scores.append(indv.fitness_score)
+                else:
+                    scores.append(float("inf"))
+            soc.score_total = scores
+            soc.indv_ranking = list(np.argsort(scores))
+            soc.finished = True
+
+    def evolve(self) -> None:
+        """Top-k selection × n_copy, then mutate every offspring
+        (reference ``mpi_generation.py:579-647``)."""
+        top_k = self.evolution_property.get("top_k", 5)
+        n_copy = self.evolution_property.get("n_copy", 4)
+        for name, soc in self.societies.items():
+            ranked = sorted(
+                soc.individuals,
+                key=lambda x: x.fitness_score
+                if x.fitness_score is not None
+                else float("inf"),
+            )
+            parents = ranked[: min(top_k, len(ranked))]
+            offspring = []
+            counter = 0
+            for p in parents:
+                for _ in range(n_copy):
+                    scope = f"{self.name}/{name}/{len(ranked) + counter:03d}"
+                    counter += 1
+                    child = self._new_individual(
+                        scope, p.graph.to_dsl(), (p.scope,), soc.fitness_func
+                    )
+                    child.mutate()
+                    offspring.append(child)
+            soc.individuals = offspring
+
+    def best(self) -> Optional[Individual]:
+        candidates = [
+            i
+            for soc in self.societies.values()
+            for i in soc.individuals
+            if i.fitness_score is not None
+        ]
+        if not candidates:
+            return None
+        return min(candidates, key=lambda x: x.fitness_score)
+
+    def stats(self) -> dict:
+        return {
+            "name": self.name,
+            "societies": {
+                name: {
+                    "n": len(soc),
+                    "finished": sum(
+                        int(i.status.finished) for i in soc.individuals
+                    ),
+                    "best_fitness": (
+                        soc.best.fitness_score if soc.best is not None else None
+                    ),
+                }
+                for name, soc in self.societies.items()
+            },
+        }

@@ -1,0 +1,206 @@
+"""Individual: one candidate circuit structure in the genetic search.
+
+Rebuild of the reference ``Individual`` (``tneq_qc/genetic/mpi_generation.py:12-414``):
+wraps a :class:`MutableGraph`, mutates by random {bond modify, tensor insert,
+tensor remove} with retry (``:154-210``), and scores
+``fitness = sparsity + 50·best_loss``.  Unlike the reference (which stubs
+sparsity to a constant 0.5, ``:108-132``), sparsity here is computed for
+real: parameter count of the candidate relative to the dense full-rank
+network on the same qubits.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.dsl import parse_graph
+from ..graph.mutable import MutableGraph
+from .codes import REASONS, IndividualStatus, default_fitness
+
+__all__ = ["Individual"]
+
+
+class Individual:
+    def __init__(
+        self,
+        scope: str,
+        graph_string: str,
+        parents: Tuple[str, ...] = (),
+        tn_rank: int = 2,
+        fitness_func: Optional[Callable[[float, float], float]] = None,
+        discard_hard_timeout_result: bool = False,
+        rng: Optional[np.random.Generator] = None,
+        **_unused,
+    ):
+        self.scope = scope
+        self.parents = parents
+        self.graph = MutableGraph(graph_string)
+        self.dim = self.graph.n_qubits
+        self.tn_rank = tn_rank
+        self.fitness_func = fitness_func or default_fitness
+        self.discard_hard_timeout_result = discard_hard_timeout_result
+        self.rng = rng or np.random.default_rng()
+
+        self.report_loss: List[float] = []
+        self.report_loss_iter: List[int] = []
+        self.report_loss_reason: List[int] = []
+        self.estimate_score: Optional[float] = None
+        self.fitness_score: Optional[float] = None
+        self.status = IndividualStatus()
+        self.sparsity = self._calculate_sparsity()
+
+    # -- scoring ----------------------------------------------------------
+
+    def _calculate_sparsity(self) -> float:
+        """Parameters of this structure / parameters of the dense network.
+
+        Dense reference: one core holding the full input x output boundary
+        space.  (The reference returns a constant 0.5 here —
+        ``mpi_generation.py:108-132`` — so relative fitness ordering under
+        equal-loss is preserved while actual structure size now matters.)
+        """
+        try:
+            g = parse_graph(self.graph.to_dsl())
+        except ValueError:
+            return float("inf")
+        actual = sum(
+            int(np.prod(c.shape, dtype=np.int64)) for c in g.cores
+        )
+        dense = int(
+            np.prod(g.input_ranks, dtype=np.float64)
+            * np.prod(g.output_ranks, dtype=np.float64)
+        )
+        return actual / dense if dense > 0 else 0.0
+
+    def calculate_fitness(self) -> float:
+        if not self.report_loss:
+            self.fitness_score = float("inf")
+        else:
+            self.fitness_score = self.fitness_func(
+                self.sparsity, float(np.min(self.report_loss))
+            )
+        return self.fitness_score
+
+    # -- mutation (reference mpi_generation.py:154-210) -------------------
+
+    def mutate(self, max_tries: int = 100) -> "Individual":
+        """One random structural mutation: bond flip, tensor insert, or
+        tensor removal on a random qubit, retried until one succeeds."""
+        op = int(self.rng.integers(0, 3))
+        qubit = int(self.rng.integers(0, self.dim))
+        for _ in range(max_tries):
+            line = self.graph.lines[qubit]
+            if not line:
+                qubit = int(self.rng.integers(0, self.dim))
+                continue
+            entry = line[int(self.rng.integers(0, len(line)))]
+            try:
+                if op == 0:
+                    new_bond = int(self.rng.choice([0, self.tn_rank]))
+                    self.graph.modify_bond(qubit, entry[0], new_bond)
+                elif op == 1:
+                    self.graph.insert_tensor_after(qubit, entry[0], rng=self.rng)
+                else:
+                    self.graph.remove_tensor_from_qubit(qubit, entry[0])
+            except ValueError:
+                continue
+            break
+        self.sparsity = self._calculate_sparsity()
+        return self
+
+    # -- evaluation protocol ----------------------------------------------
+
+    def get_training_info(self) -> dict:
+        return {
+            "graph_string": self.graph.to_dsl(),
+            "scope": self.scope,
+            "parents": self.parents,
+            "sparsity": self.sparsity,
+            "dim": self.dim,
+        }
+
+    def set_training_result(
+        self, loss: float, iterations: int, reason: int = REASONS.REACH_MAX_ITER
+    ) -> bool:
+        if self.discard_hard_timeout_result and reason == REASONS.HARD_TIMEOUT:
+            return False
+        self.report_loss.append(float(loss))
+        self.report_loss_iter.append(int(iterations))
+        self.report_loss_reason.append(int(reason))
+        self.calculate_fitness()
+        return True
+
+    # -- factories (reference mpi_generation.py:346-414) ------------------
+
+    @staticmethod
+    def create_full_connection(
+        scope: str,
+        tn_size: int = 4,
+        tn_rank: int = 2,
+        presented_shape: int = 2,
+        **kwds,
+    ) -> "Individual":
+        """Every qubit line passes through every core, all bonds tn_rank."""
+        import string
+
+        names = string.ascii_uppercase[:tn_size]
+        shape = (
+            presented_shape
+            if isinstance(presented_shape, (list, tuple))
+            else [presented_shape] * tn_size
+        )
+        lines = []
+        for q in range(tn_size):
+            parts = [f"-{shape[q]}-"]
+            for j, n in enumerate(names):
+                parts.append(n)
+                if j < len(names) - 1:
+                    parts.append(f"-{tn_rank}-")
+            parts.append(f"-{shape[q]}-")
+            lines.append("".join(parts))
+        return Individual(scope, "\n".join(lines), tn_rank=tn_rank, **kwds)
+
+    @staticmethod
+    def create_random(
+        scope: str,
+        tn_size: int = 4,
+        tn_rank: int = 2,
+        presented_shape: int = 2,
+        init_sparsity: float = 0.5,
+        rng: Optional[np.random.Generator] = None,
+        **kwds,
+    ) -> "Individual":
+        """Random subset of bonds dropped with probability ``init_sparsity``
+        (negative value: draw the probability uniformly from [-v, 1])."""
+        import string
+
+        rng = rng or np.random.default_rng()
+        if init_sparsity < 0:
+            init_sparsity = float(rng.uniform(-init_sparsity, 1.0))
+        names = string.ascii_uppercase[:tn_size]
+        shape = (
+            presented_shape
+            if isinstance(presented_shape, (list, tuple))
+            else [presented_shape] * tn_size
+        )
+        lines = []
+        for q in range(tn_size):
+            parts = [f"-{shape[q]}-"]
+            for j, n in enumerate(names):
+                parts.append(n)
+                if j < len(names) - 1:
+                    keep = rng.uniform() >= init_sparsity
+                    parts.append(f"-{tn_rank}-" if keep else "-----")
+            parts.append(f"-{shape[q]}-")
+            lines.append("".join(parts))
+        return Individual(scope, "\n".join(lines), tn_rank=tn_rank, rng=rng, **kwds)
+
+    # -- display ----------------------------------------------------------
+
+    def __repr__(self) -> str:
+        return (
+            f"Individual(scope={self.scope}, fitness={self.fitness_score}, "
+            f"sparsity={self.sparsity:.3f}, evaluated={len(self.report_loss)})"
+        )

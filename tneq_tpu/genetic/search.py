@@ -1,0 +1,135 @@
+"""EvolutionSearch: the structure-search driver.
+
+Rebuild of ``MPI_Overlord`` (``tneq_qc/distributed/mpi_overlord.py``) as an
+in-process work queue: spans generations up to ``max_generation``, feeds the
+evaluator, collects results with per-individual ``evaluate_repeat``, applies
+the abnormal-result accounting, and evolves finished generations.  The MPI
+job farm (persistent irecvs, survival pings, shutdown broadcast) disappears:
+on TPU the "workers" are cached compiled programs on one device/mesh, and
+restarts of one candidate are vmapped (see ``CandidateEvaluator``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .codes import REASONS, AgentStatus, reason_name
+from .evaluator import CandidateEvaluator
+from .generation import Generation
+from .individual import Individual
+
+__all__ = ["EvolutionSearch"]
+
+
+class EvolutionSearch:
+    def __init__(
+        self,
+        evaluator: CandidateEvaluator,
+        generation_property: Optional[Dict[str, Any]] = None,
+        evolution_property: Optional[Dict[str, Any]] = None,
+        max_generation: int = 5,
+        max_abnormal: int = 10,
+        seed: int = 0,
+        verbose: bool = True,
+        **individual_kwds,
+    ):
+        self.evaluator = evaluator
+        self.generation_property = generation_property or {}
+        self.evolution_property = evolution_property or {}
+        self.max_generation = max_generation
+        self.max_abnormal = max_abnormal
+        self.verbose = verbose
+        self.individual_kwds = individual_kwds
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.status = AgentStatus()
+        self.history: List[dict] = []
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg, flush=True)
+
+    def run(self) -> Individual:
+        """Run the full search; returns the best individual found."""
+        generation = Generation(
+            name="G000",
+            generation_property=self.generation_property,
+            evolution_property=self.evolution_property,
+            rng=self.rng,
+            **self.individual_kwds,
+        )
+        best_overall: Optional[Individual] = None
+
+        for g in range(self.max_generation):
+            t0 = time.time()
+            n_evals = 0
+            while not generation.is_finished():
+                indv = generation.next_to_evaluate()
+                if indv is None:
+                    break
+                self.key, sub = jax.random.split(self.key)
+                # vmap the remaining repeats of this candidate into one
+                # compiled call (the reference farms each repeat out to a
+                # separate MPI worker)
+                remaining = max(
+                    1, generation.evaluate_repeat - indv.status.repeated
+                )
+                try:
+                    losses, iters, reason = self.evaluator.evaluate(
+                        indv.graph.to_dsl(), sub, repeats=remaining
+                    )
+                    for loss in np.asarray(losses):
+                        generation.collect_result(indv, float(loss), iters, reason)
+                    n_evals += remaining
+                except Exception as e:  # abnormal job (reference INFO_ABNORMAL)
+                    self.status.abnormal_counter += 1
+                    self._log(f"abnormal evaluation for {indv.scope}: {e}")
+                    generation.collect_result(
+                        indv, 1e9, -1, REASONS.FAKE_RESULT
+                    )
+                    if self.status.abnormal_counter > self.max_abnormal:
+                        raise RuntimeError(
+                            "too many abnormal evaluations; aborting search"
+                        ) from e
+
+            generation.evaluate()
+            best = generation.best()
+            if best is not None and (
+                best_overall is None
+                or best.fitness_score < best_overall.fitness_score
+            ):
+                best_overall = best
+            self.history.append(
+                {
+                    "generation": generation.name,
+                    "evaluations": n_evals,
+                    "best_fitness": best.fitness_score if best else None,
+                    "best_scope": best.scope if best else None,
+                    "wall_time": time.time() - t0,
+                }
+            )
+            self._log(
+                f"[{generation.name}] {n_evals} evals in "
+                f"{time.time() - t0:.1f}s; best fitness "
+                f"{best.fitness_score if best else float('nan'):.5f}"
+            )
+
+            if g + 1 < self.max_generation:
+                generation.evolve()
+                next_gen = Generation(
+                    parent=generation,
+                    name=f"G{g + 1:03d}",
+                    generation_property=self.generation_property,
+                    evolution_property=self.evolution_property,
+                    rng=self.rng,
+                    **self.individual_kwds,
+                )
+                generation = next_gen
+
+        if best_overall is None:
+            raise RuntimeError("search produced no evaluated individuals")
+        return best_overall
