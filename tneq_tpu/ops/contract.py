@@ -75,8 +75,34 @@ def _gather_operands(
     return ops
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _cached_native_path(equation: str, shapes: tuple):
+    from ..native.path import find_path
+
+    try:
+        return find_path(equation, shapes)
+    except Exception:
+        return None
+
+
+# Use the native C++ greedy path search once networks get large (the
+# trace-time hot spot for big circuits); below that opt_einsum's 'auto'
+# (optimal for tiny networks) is better.
+_NATIVE_PATH_MIN_OPERANDS = 12
+
+
 def _einsum(spec: EinsumSpec, ops: List[jax.Array]) -> jax.Array:
-    return jnp.einsum(spec.equation, *ops, optimize="auto")
+    optimize = "auto"
+    if len(ops) >= _NATIVE_PATH_MIN_OPERANDS:
+        path = _cached_native_path(
+            spec.equation, tuple(tuple(o.shape) for o in ops)
+        )
+        if path is not None:
+            optimize = path
+    return jnp.einsum(spec.equation, *ops, optimize=optimize)
 
 
 # ---------------------------------------------------------------------------
