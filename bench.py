@@ -2,17 +2,21 @@
 x 5-cell brick-wall QCTN (the symmetry-breaking inner loop).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...}
 
-vs_baseline = JAX/TPU steps-per-second divided by an equivalent
-torch-CPU implementation of the same forward+backward+update step (the
-reference framework is pure torch-CPU; BASELINE.md publishes no framework
-numbers, so the baseline is measured in-process).
+vs_baseline = steps-per-second divided by an equivalent torch-CPU
+implementation of the same forward+backward+update step (the reference
+framework is pure torch-CPU; BASELINE.md publishes no framework numbers, so
+the baseline is measured in-process).
+
+Every accelerator interaction runs under a SIGALRM guard that exits cleanly:
+a SIGKILLed process wedges this container's TPU tunnel for a long time.
 """
 
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 
@@ -30,29 +34,41 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_jax() -> float:
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm(seconds: int):
+    def handler(signum, frame):
+        raise BenchTimeout()
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def bench_jax(device_budget_s: int = 420) -> tuple:
     import jax
     import jax.numpy as jnp
 
-    from tneq_tpu.apps.symmetry_breaking import (
-        SymmetryBreakingConfig,
-        make_experiment,
-        target_tensor_init,
+    from tneq_tpu.graph import (
+        build_brick_wall_incidence,
+        incidence_to_graph,
+        parse_graph,
     )
     from tneq_tpu.model.qctn import init_params
     from tneq_tpu.ops.contract import make_core_only_fn
     from tneq_tpu.optim import sgdg
     from tneq_tpu.train.losses import fidelity
 
+    device = jax.devices()[0].platform
     log(f"jax devices: {jax.devices()}")
-    cfg = SymmetryBreakingConfig(n_qubits=N_QUBITS, n_cells=N_CELLS)
-    exp = make_experiment(cfg)
+    graph = parse_graph(
+        incidence_to_graph(build_brick_wall_incidence(N_QUBITS, N_CELLS, 2))
+    )
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    target = target_tensor_init(exp, TARGET_MASK, k1)
-    params = init_params(exp.graph, k2, jnp.complex64)
 
-    core_fn = make_core_only_fn(exp.graph)
+    core_fn = make_core_only_fn(graph)
     optimizer = sgdg(1.0, momentum=0.9, stiefel=True)
 
     # NOTE: target must be an argument (not a closure capture): the axon TPU
@@ -72,23 +88,44 @@ def bench_jax() -> float:
         (params, _), losses = jax.lax.scan(
             body, (params, optimizer.init(params)), None, length=BENCH_STEPS
         )
-        return params, losses
+        return losses[-1]
 
-    log("compiling jax fit step...")
-    t0 = time.time()
-    out = run(params, target)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    _alarm(device_budget_s)
+    try:
+        # build everything on device inside the guard
+        target_params = init_params(graph, k1, jnp.complex64)
+        mask = np.ones(graph.ncores, np.float32)
+        mask[TARGET_MASK] = 0.0
+        from tneq_tpu.train.fit import identity_cores
 
-    t0 = time.time()
-    out = run(params, target)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+        idents = identity_cores(graph, jnp.complex64)
+        eff = {
+            n: jnp.asarray(mask[i], jnp.complex64) * target_params[n]
+            + jnp.asarray(1 - mask[i], jnp.complex64) * idents[n]
+            for i, n in enumerate(graph.core_names)
+        }
+        target = core_fn(eff)
+        params = init_params(graph, k2, jnp.complex64)
+
+        log("compiling jax fit step...")
+        t0 = time.time()
+        out = run(params, target)
+        jax.block_until_ready(out)
+        log(f"compile+first {BENCH_STEPS} steps: {time.time() - t0:.1f}s")
+
+        t0 = time.time()
+        out = run(params, target)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        final_infid = float(out)
+        signal.alarm(0)
+    except BenchTimeout:
+        log("jax benchmark timed out (accelerator tunnel wedged?)")
+        return None, device
     sps = BENCH_STEPS / dt
-    final_infid = float(out[1][-1])
-    log(f"jax: {BENCH_STEPS} steps in {dt:.2f}s -> {sps:.1f} steps/s "
+    log(f"jax[{device}]: {BENCH_STEPS} steps in {dt:.2f}s -> {sps:.1f} steps/s "
         f"(final 1-F={final_infid:.4f})")
-    return sps
+    return sps, device
 
 
 def bench_torch_cpu() -> float:
@@ -98,7 +135,11 @@ def bench_torch_cpu() -> float:
     import torch
 
     from tneq_tpu.ops.einsum_spec import core_only_spec
-    from tneq_tpu.graph import build_brick_wall_incidence, incidence_to_graph, parse_graph
+    from tneq_tpu.graph import (
+        build_brick_wall_incidence,
+        incidence_to_graph,
+        parse_graph,
+    )
 
     graph = parse_graph(
         incidence_to_graph(build_brick_wall_incidence(N_QUBITS, N_CELLS, 2))
@@ -116,8 +157,18 @@ def bench_torch_cpu() -> float:
     )
     bufs = [torch.zeros_like(p) for p in params]
 
+    import opt_einsum as oe
+
+    # torch.einsum only accepts [a-zA-Z] subscripts; the 35-core network
+    # needs more symbols, so contract via opt_einsum's torch backend (which
+    # remaps per pairwise step) with a precomputed expression — the same
+    # approach the reference uses (EinsumStrategy + contract_expression)
+    expr = oe.contract_expression(
+        spec.equation, *[c.shape for c in graph.cores], optimize="greedy"
+    )
+
     def step():
-        out = torch.einsum(spec.equation, *params)
+        out = expr(*params, backend="torch")
         o = out.reshape(-1)
         t = target.reshape(-1)
         ov = torch.vdot(t, o)
@@ -144,18 +195,33 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    jax_sps = bench_jax()
+    jax_sps, device = bench_jax()
     try:
+        _alarm(180)
         torch_sps = bench_torch_cpu()
-        vs = jax_sps / torch_sps if torch_sps > 0 else float("nan")
-    except Exception as e:  # torch baseline is best-effort
+        signal.alarm(0)
+    except (Exception, BenchTimeout) as e:
         log(f"torch baseline failed: {e}")
-        vs = float("nan")
+        torch_sps = None
+
+    if jax_sps is None:
+        # accelerator unreachable: report the torch baseline as the value
+        # with an explicit flag so the record is honest
+        print(json.dumps({
+            "metric": f"stiefel_fidelity_train_steps_per_sec_{N_QUBITS}q{N_CELLS}c",
+            "value": round(torch_sps, 2) if torch_sps else 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 1.0 if torch_sps else None,
+            "device": "cpu-fallback-accelerator-unreachable",
+        }))
+        return
+    vs = (jax_sps / torch_sps) if torch_sps else None
     print(json.dumps({
         "metric": f"stiefel_fidelity_train_steps_per_sec_{N_QUBITS}q{N_CELLS}c",
         "value": round(jax_sps, 2),
         "unit": "steps/s",
-        "vs_baseline": round(vs, 2) if vs == vs else None,
+        "vs_baseline": round(vs, 2) if vs else None,
+        "device": device,
     }))
 
 

@@ -1,0 +1,226 @@
+"""Micro-benchmark stages (see package docstring for the tools/ mapping)."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "stage_env_audit",
+    "stage_matmul_peak",
+    "stage_memory_bandwidth",
+    "stage_transpose_cost",
+    "stage_collectives",
+    "stage_checkpoint_io",
+    "stage_tn_workload",
+    "ALL_STAGES",
+]
+
+
+def _timeit(fn: Callable[[], Any], repeats: int = 5, warmup: int = 2) -> float:
+    """Median wall time of ``fn`` (which must block until ready)."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def stage_env_audit(**_) -> Dict[str, Any]:
+    """Stage 1 analogue (``tools/stage1_env_audit``): platform + library audit."""
+    import jaxlib
+
+    dev = jax.devices()[0]
+    rec = {
+        "stage": "env_audit",
+        "jax_version": jax.__version__,
+        "jaxlib_version": jaxlib.__version__,
+        "platform": dev.platform,
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "n_devices": len(jax.devices()),
+        "default_backend": jax.default_backend(),
+    }
+    try:
+        from ..native import native_available
+
+        rec["native_pathfinder"] = native_available()
+    except Exception:
+        rec["native_pathfinder"] = False
+    return rec
+
+
+def stage_matmul_peak(
+    sizes=(512, 1024, 2048), dtypes=("float32", "bfloat16", "complex64"), **_
+) -> Dict[str, Any]:
+    """Stage 2 analogue (``test_single_cmg_peak.py``): square matmul GFLOP/s
+    per size/dtype (MXU utilization proxy; complex counts 4x real flops)."""
+    results = []
+    for dtype_name in dtypes:
+        dtype = getattr(jnp, dtype_name)
+        for n in sizes:
+            if dtype_name == "complex64":
+                a = (jnp.ones((n, n)) + 1j * jnp.ones((n, n))).astype(dtype)
+            else:
+                a = jnp.ones((n, n), dtype)
+            f = jax.jit(lambda x: x @ x)
+            run = lambda: jax.block_until_ready(f(a))
+            dt = _timeit(run)
+            flops = 2.0 * n**3 * (4.0 if dtype_name == "complex64" else 1.0)
+            results.append(
+                {"size": n, "dtype": dtype_name,
+                 "gflops": round(flops / dt / 1e9, 2),
+                 "ms": round(dt * 1e3, 3)}
+            )
+    return {"stage": "matmul_peak", "results": results}
+
+
+def stage_memory_bandwidth(sizes_mb=(16, 64, 256), **_) -> Dict[str, Any]:
+    """Stage 3 analogue (``test_hbm2_bandwidth.py``): copy/scale bandwidth."""
+    results = []
+    for mb in sizes_mb:
+        n = mb * 1024 * 1024 // 4
+        x = jnp.ones((n,), jnp.float32)
+        f = jax.jit(lambda v: v * 1.0000001)
+        dt = _timeit(lambda: jax.block_until_ready(f(x)))
+        # read + write
+        results.append(
+            {"size_mb": mb, "gbps": round(2 * n * 4 / dt / 1e9, 2),
+             "ms": round(dt * 1e3, 3)}
+        )
+    return {"stage": "memory_bandwidth", "results": results}
+
+
+def stage_transpose_cost(n: int = 2048, **_) -> Dict[str, Any]:
+    """Stage 3 analogue (``test_transpose_cost.py``): permute+materialize vs copy."""
+    x = jnp.ones((n, n), jnp.float32)
+    copy = jax.jit(lambda v: v + 0.0)
+    tr = jax.jit(lambda v: (v.T + 0.0))
+    t_copy = _timeit(lambda: jax.block_until_ready(copy(x)))
+    t_tr = _timeit(lambda: jax.block_until_ready(tr(x)))
+    return {
+        "stage": "transpose_cost",
+        "size": n,
+        "copy_ms": round(t_copy * 1e3, 3),
+        "transpose_ms": round(t_tr * 1e3, 3),
+        "ratio": round(t_tr / max(t_copy, 1e-12), 2),
+    }
+
+
+def stage_collectives(size_mb: int = 8, **_) -> Dict[str, Any]:
+    """Stage 5/7 analogue (``test_mpi_baseline.py``): psum / all_gather /
+    ppermute latency+bandwidth over the device mesh (ICI on real hardware)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return {"stage": "collectives", "skipped": "single device"}
+    mesh = make_mesh({"x": n_dev})
+    n = size_mb * 1024 * 1024 // 4
+    x = jnp.ones((n_dev, n // n_dev), jnp.float32)
+
+    results = {}
+    for name, fn in {
+        "psum": lambda v: jax.lax.psum(v, "x"),
+        "all_gather": lambda v: jax.lax.all_gather(v, "x"),
+        "ppermute": lambda v: jax.lax.ppermute(
+            v, "x", [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        ),
+    }.items():
+        prog = jax.jit(
+            jax.shard_map(fn, mesh=mesh, in_specs=P("x"), out_specs=P("x")
+                          if name != "psum" else P("x"))
+        )
+        dt = _timeit(lambda: jax.block_until_ready(prog(x)))
+        results[name] = {
+            "ms": round(dt * 1e3, 3),
+            "algo_gbps": round(n // n_dev * 4 * (n_dev - 1) / dt / 1e9, 2),
+        }
+    return {"stage": "collectives", "n_devices": n_dev,
+            "size_mb": size_mb, "results": results}
+
+
+def stage_checkpoint_io(tmpdir: Optional[str] = None, size_mb: int = 64, **_) -> Dict[str, Any]:
+    """Stage 6 analogue (``test_llio_performance.py``): checkpoint save/load."""
+    import tempfile
+
+    from ..utils.checkpoint import CheckpointManager
+
+    d = tmpdir or tempfile.mkdtemp()
+    n = size_mb * 1024 * 1024 // 8  # complex64
+    params = {
+        "a": jnp.ones((n // 2,), jnp.complex64),
+        "b": jnp.ones((n // 2,), jnp.complex64),
+    }
+    mgr = CheckpointManager(d, keep=1)
+    t0 = time.perf_counter()
+    mgr.save(0, params)
+    t_save = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mgr.load()
+    t_load = time.perf_counter() - t0
+    return {
+        "stage": "checkpoint_io",
+        "size_mb": size_mb,
+        "save_mbps": round(size_mb / t_save, 1),
+        "load_mbps": round(size_mb / t_load, 1),
+    }
+
+
+def stage_tn_workload(n_qubits: int = 8, n_cells: int = 5, batch: int = 32, **_) -> Dict[str, Any]:
+    """Stage 6 analogue (``test_tensor_network_workload.py``): end-to-end
+    siamese contraction + gradient throughput on the brick-wall QCTN."""
+    from ..graph import build_brick_wall_incidence, incidence_to_graph, parse_graph
+    from ..model.qctn import init_params
+    from ..ops.contract import abs_square, make_siamese_fn
+    from ..ops.features import measurement_matrices
+    from ..train.losses import nll_loss
+    from ..train.trainer import basis_states
+
+    graph = parse_graph(
+        incidence_to_graph(build_brick_wall_incidence(n_qubits, n_cells, 2))
+    )
+    params = init_params(graph, jax.random.PRNGKey(0), jnp.complex64)
+    states = basis_states(graph)
+    fn = make_siamese_fn(graph)
+
+    def loss(params, x):
+        mx = measurement_matrices(x, 2).astype(jnp.complex64)
+        measures = [mx[:, q] for q in range(graph.nqubits)]
+        raw = fn(params, states, measures)
+        return nll_loss(abs_square(raw))
+
+    x = jnp.zeros((batch, n_qubits), jnp.float32)
+    fwd = jax.jit(loss)
+    grad = jax.jit(jax.value_and_grad(loss))
+    t_fwd = _timeit(lambda: jax.block_until_ready(fwd(params, x)))
+    t_grad = _timeit(lambda: jax.block_until_ready(grad(params, x)))
+    return {
+        "stage": "tn_workload",
+        "n_qubits": n_qubits,
+        "n_cells": n_cells,
+        "batch": batch,
+        "forward_ms": round(t_fwd * 1e3, 3),
+        "forward_per_sample_us": round(t_fwd / batch * 1e6, 2),
+        "grad_ms": round(t_grad * 1e3, 3),
+        "grad_steps_per_sec": round(1.0 / t_grad, 1),
+    }
+
+
+ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
+    "1_env_audit": stage_env_audit,
+    "2_matmul_peak": stage_matmul_peak,
+    "3_memory_bandwidth": stage_memory_bandwidth,
+    "3b_transpose_cost": stage_transpose_cost,
+    "5_collectives": stage_collectives,
+    "6_checkpoint_io": stage_checkpoint_io,
+    "6b_tn_workload": stage_tn_workload,
+}
