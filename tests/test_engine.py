@@ -124,9 +124,17 @@ class TestEngineFacade:
         )
         assert samp.shape == (8, 4)
 
-    def test_vector_measure_not_implemented(self, model):
+    def test_vector_measure_matches_matrix(self, model):
+        """measure_is_matrix=False builds rank-1 operators from phi vectors."""
         engine = EngineSiamese()
-        with pytest.raises(NotImplementedError):
-            engine.contract_with_compiled_strategy(
-                model, None, [], measure_is_matrix=False
-            )
+        states = basis_states(model.graph)
+        x = jnp.asarray(np.random.default_rng(5).normal(size=(3, 4)), jnp.float32)
+        mx, phi = engine.generate_data(x, K=2)
+        phi_list = [phi[:, q].astype(jnp.complex64) for q in range(4)]
+        p_vec = engine.contract_with_compiled_strategy(
+            model, states, phi_list, measure_is_matrix=False
+        )
+        p_mat = engine.contract_with_compiled_strategy(model, states, mx)
+        np.testing.assert_allclose(
+            np.asarray(p_vec), np.asarray(p_mat), rtol=1e-4
+        )

@@ -67,9 +67,12 @@ class EngineSiamese:
         """Born-rule contraction; complex results squared per the reference
         convention.  ``ret_type='scaled'`` returns ``(probs, log_scale)``."""
         if not measure_is_matrix:
-            raise NotImplementedError(
-                "vector (phi) measurement inputs: build Mx via generate_data"
-            )
+            # vector (phi) inputs: rank-1 measurement operators phi (x) conj(phi)
+            # (reference measure_is_matrix=False path, einsum_strategy.py:419)
+            measure_input_list = [
+                jnp.einsum("...k,...l->...kl", jnp.conj(m), m)
+                for m in measure_input_list
+            ]
         graph, params = _resolve(qctn)
         sb = any(getattr(s, "ndim", 1) == 2 for s in (circuit_states_list or []))
         if self.use_scaling or ret_type == "scaled":
@@ -97,7 +100,10 @@ class EngineSiamese:
         log-scale correction (reference :351-554).  ``grads`` is a dict by
         core name (the reference returns a positional list)."""
         if not measure_is_matrix:
-            raise NotImplementedError("vector measurement inputs")
+            measure_input_list = [
+                jnp.einsum("...k,...l->...kl", jnp.conj(m), m)
+                for m in measure_input_list
+            ]
         graph, params = _resolve(qctn)
         sb = any(getattr(s, "ndim", 1) == 2 for s in (circuit_states_list or []))
         key = (graph.signature, sb, self.use_scaling,

@@ -110,6 +110,53 @@ class Individual:
         self.sparsity = self._calculate_sparsity()
         return self
 
+    def crossover(
+        self, other: "Individual", max_tries: int = 20
+    ) -> Tuple["Individual", "Individual"]:
+        """Single-qubit-line crossover: the offspring swap one randomly
+        chosen qubit line, retrying until both children parse as valid
+        circuits (the reference leaves this unimplemented,
+        ``mpi_generation.py:212-231``).  Falls back to mutated copies when no
+        valid swap exists."""
+        if self.dim != other.dim:
+            raise ValueError("crossover requires equal qubit counts")
+        for _ in range(max_tries):
+            q = int(self.rng.integers(0, self.dim))
+            g1, g2 = self.graph.copy(), other.graph.copy()
+            g1.lines[q] = list(other.graph.lines[q])
+            g2.lines[q] = list(self.graph.lines[q])
+            try:
+                s1, s2 = g1.to_dsl(), g2.to_dsl()
+                parse_graph(s1)
+                parse_graph(s2)
+            except ValueError:
+                continue
+            c1 = Individual(
+                f"{self.scope}+x", s1,
+                parents=(self.scope, other.scope),
+                tn_rank=self.tn_rank, fitness_func=self.fitness_func,
+                rng=self.rng,
+            )
+            c2 = Individual(
+                f"{other.scope}+x", s2,
+                parents=(self.scope, other.scope),
+                tn_rank=other.tn_rank, fitness_func=other.fitness_func,
+                rng=self.rng,
+            )
+            return c1, c2
+        # no valid swap: fall back to mutation
+        c1 = Individual(
+            f"{self.scope}+m", self.graph.to_dsl(),
+            parents=(self.scope, other.scope), tn_rank=self.tn_rank,
+            fitness_func=self.fitness_func, rng=self.rng,
+        ).mutate()
+        c2 = Individual(
+            f"{other.scope}+m", other.graph.to_dsl(),
+            parents=(self.scope, other.scope), tn_rank=other.tn_rank,
+            fitness_func=other.fitness_func, rng=self.rng,
+        ).mutate()
+        return c1, c2
+
     # -- evaluation protocol ----------------------------------------------
 
     def get_training_info(self) -> dict:

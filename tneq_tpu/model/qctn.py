@@ -225,6 +225,41 @@ class QCTN:
         model.load_cores(file_path, strict=strict)
         return model
 
+    # -- contraction conveniences (reference qctn.py:986-1211) ------------
+
+    def contract_core_only(self, order: str = "reference"):
+        """Dense circuit tensor with open boundary legs
+        (reference ``QCTN._contract_core_only``)."""
+        from ..ops.contract import contract_cores
+
+        return contract_cores(self.graph, self.params, order)
+
+    def contract_with_inputs(self, states, batched: bool = False):
+        """Apply the circuit to per-qubit input vectors
+        (reference ``QCTN._contract_with_inputs``)."""
+        from ..ops.contract import make_with_inputs_fn
+
+        return make_with_inputs_fn(self.graph, batched)(self.params, states)
+
+    def contract_with_self(self, states, measures):
+        """Siamese Born-rule probability
+        (reference ``QCTN.contract_with_self``)."""
+        from ..ops.contract import siamese_probability
+
+        batched = any(getattr(s, "ndim", 1) == 2 for s in states)
+        return siamese_probability(
+            self.graph, self.params, states, measures, states_batched=batched
+        )
+
+    def contract_with_qctn(self, other: "QCTN", conj_target: bool = False):
+        """Scalar overlap with another circuit
+        (reference ``QCTN.optimize_contract_with_QCTN``)."""
+        from ..ops.contract import make_two_network_fn
+
+        return make_two_network_fn(self.graph, other.graph, conj_target)(
+            self.params, other.params
+        )
+
     # -- surgery (reference qctn.py:1296-1523) ----------------------------
 
     def split(self, split_idx: Optional[int] = None):

@@ -13,6 +13,8 @@ from .contract import (
     siamese_probability,
 )
 from .features import hermite_weights, hermite_phi, measurement_matrices, generate_data
+from .scaling import Scaled, auto_scale, scaled_siamese_fn
+from .mps_sweep import is_mps_chain, mps_sweep_siamese_fn
 
 __all__ = [
     "EinsumSpec",
@@ -29,4 +31,9 @@ __all__ = [
     "hermite_phi",
     "measurement_matrices",
     "generate_data",
+    "Scaled",
+    "auto_scale",
+    "scaled_siamese_fn",
+    "is_mps_chain",
+    "mps_sweep_siamese_fn",
 ]

@@ -1,6 +1,8 @@
 from .mesh import make_mesh, data_sharding, replicated
 from .dp import make_dp_train_step, shard_batch
 from .mp import choose_slice_bonds, make_sliced_siamese_fn, sliced_nll_loss
+from .trainer import DistributedConfig, DistributedTrainer
+from .health import check_mesh_health
 
 __all__ = [
     "make_mesh",
@@ -11,4 +13,7 @@ __all__ = [
     "choose_slice_bonds",
     "make_sliced_siamese_fn",
     "sliced_nll_loss",
+    "DistributedConfig",
+    "DistributedTrainer",
+    "check_mesh_health",
 ]

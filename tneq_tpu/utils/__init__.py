@@ -8,6 +8,8 @@ from .config import (
 )
 from .logging import setup_logger, setup_colored_logger, Colors
 from .checkpoint import CheckpointManager
+from .callbacks import CallbackList, ExperimentRecorder
+from .profiling import StepTimer, trace, annotate
 
 __all__ = [
     "Configuration",
@@ -20,4 +22,9 @@ __all__ = [
     "setup_colored_logger",
     "Colors",
     "CheckpointManager",
+    "CallbackList",
+    "ExperimentRecorder",
+    "StepTimer",
+    "trace",
+    "annotate",
 ]
