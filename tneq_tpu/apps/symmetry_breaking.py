@@ -48,6 +48,10 @@ class SymmetryBreakingConfig:
     n_qubits: int = 8
     n_cells: int = 5
     rank: int = 2
+    # 'dense': fidelity against a materialized 4^n target tensor (reference
+    # semantics, feasible to ~14 qubits); 'network': fidelity from
+    # network-network overlaps only (scales to 30+ qubits)
+    fidelity_mode: str = "dense"
     dtype: object = jnp.complex64
     validate_lr: float = 1.0
     validate_steps: int = 4000
@@ -72,20 +76,35 @@ class Experiment:
             cfg.n_qubits, cfg.n_cells, cfg.rank
         )
         self.graph: CircuitGraph = parse_graph(incidence_to_graph(self.incidence))
-        self.validate_fit = make_masked_fidelity_fit(
+        if cfg.fidelity_mode == "network":
+            from ..train.network_fit import make_masked_network_fidelity_fit
+
+            make_fit = make_masked_network_fidelity_fit
+        elif cfg.fidelity_mode == "dense":
+            make_fit = make_masked_fidelity_fit
+        else:
+            raise ValueError(f"unknown fidelity_mode {cfg.fidelity_mode!r}")
+        self.validate_fit = make_fit(
             self.graph,
             sgdg(cfg.validate_lr, momentum=cfg.momentum, stiefel=True),
             max_steps=cfg.validate_steps,
             tol=cfg.tol,
             dtype=cfg.dtype,
         )
-        self.prune_fit = make_masked_fidelity_fit(
+        self.prune_fit = make_fit(
             self.graph,
             sgdg(cfg.prune_lr, momentum=cfg.momentum, stiefel=True),
             max_steps=cfg.prune_steps,
             tol=cfg.tol,
             dtype=cfg.dtype,
         )
+
+    def run_fit(self, fit, params, mask, target):
+        """Invoke a fit with the mode-appropriate target representation."""
+        if self.cfg.fidelity_mode == "network":
+            t_params, t_mask = target
+            return fit(params, mask, t_params, t_mask)
+        return fit(params, mask, target)
 
     def mask_vector(self, masked: Sequence[int]) -> jax.Array:
         m = np.ones(self.graph.ncores, np.float32)
@@ -107,14 +126,17 @@ def make_experiment(cfg: Optional[SymmetryBreakingConfig] = None) -> Experiment:
 
 def target_tensor_init(
     exp: Experiment, target_mask_list: Sequence[int], key: jax.Array
-) -> jax.Array:
-    """Random masked network -> dense target tensor
-    (reference ``symmetry_breaking_quantum.py:128-146``)."""
+):
+    """Random masked network -> target (dense tensor, or the masked network
+    itself in 'network' fidelity mode).
+    (Reference ``symmetry_breaking_quantum.py:128-146``.)"""
     from ..ops.contract import make_core_only_fn
     from ..train.fit import identity_cores
 
     params = init_params(exp.graph, key, exp.cfg.dtype)
     mask = exp.mask_vector(target_mask_list)
+    if exp.cfg.fidelity_mode == "network":
+        return params, mask
     idents = identity_cores(exp.graph, exp.cfg.dtype)
     eff = {
         n: mask[i].astype(exp.cfg.dtype) * params[n]
@@ -125,13 +147,13 @@ def target_tensor_init(
 
 
 def validate_target_tensor(
-    exp: Experiment, target: jax.Array, key: jax.Array
+    exp: Experiment, target, key: jax.Array
 ) -> Tuple[bool, float, int]:
     """Refit a fresh full network to the target; success at 1-F < tol
     (reference ``symmetry_breaking_quantum.py:150-177``)."""
     params = init_params(exp.graph, key, exp.cfg.dtype)
     full_mask = exp.mask_vector([])
-    res = exp.validate_fit(params, full_mask, target)
+    res = exp.run_fit(exp.validate_fit, params, full_mask, target)
     infid = float(res.infidelity)
     return infid < exp.cfg.tol, 1.0 - infid, int(res.steps)
 
@@ -169,7 +191,9 @@ def symmetry_breaking(
                 continue
             key, sub = jax.random.split(key)
             params = init_params(exp.graph, sub, cfg.dtype)
-            res = exp.prune_fit(params, exp.mask_vector(trial), target)
+            res = exp.run_fit(
+                exp.prune_fit, params, exp.mask_vector(trial), target
+            )
             infid = float(res.infidelity)
             if infid < cfg.tol:
                 pruned = trial
@@ -201,12 +225,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--target-mask", type=int, nargs="*", default=None)
     p.add_argument("--save", type=str, default=None, help="save best run JSON")
+    p.add_argument("--fidelity-mode", choices=["dense", "network"],
+                   default="dense",
+                   help="'network' computes fidelity from network overlaps "
+                        "(no dense target; required beyond ~14 qubits)")
     args = p.parse_args(argv)
 
     cfg = SymmetryBreakingConfig(
         n_qubits=args.n_qubits,
         n_cells=args.n_cells,
         rank=args.rank,
+        fidelity_mode=args.fidelity_mode,
         validate_steps=args.validate_steps,
         prune_steps=args.prune_steps,
         seed=args.seed,

@@ -18,6 +18,7 @@ from .microbench import (
     stage_collectives,
     stage_checkpoint_io,
     stage_tn_workload,
+    stage_large_network,
     ALL_STAGES,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "stage_collectives",
     "stage_checkpoint_io",
     "stage_tn_workload",
+    "stage_large_network",
     "ALL_STAGES",
 ]

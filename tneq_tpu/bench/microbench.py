@@ -215,6 +215,56 @@ def stage_tn_workload(n_qubits: int = 8, n_cells: int = 5, batch: int = 32, **_)
     }
 
 
+def stage_large_network(n_qubits: int = 32, n_cells: int = 2, **_) -> Dict[str, Any]:
+    """North-star proxy (BASELINE.md): 30+-qubit symmetry-breaking circuit,
+    network-space fidelity gradient step (no dense target — impossible at
+    this size), timed end to end."""
+    from ..graph import build_brick_wall_incidence, incidence_to_graph, parse_graph
+    from ..model.qctn import init_params
+    from ..optim.stiefel import sgdg
+    from ..train.network_fit import make_masked_network_fidelity_fit
+
+    graph = parse_graph(
+        incidence_to_graph(build_brick_wall_incidence(n_qubits, n_cells, 2))
+    )
+    import jax.random as jrandom
+
+    k1, k2 = jax.random.split(jrandom.PRNGKey(0))
+    t_params = init_params(graph, k1, jnp.complex64)
+    params = init_params(graph, k2, jnp.complex64)
+    mask = jnp.ones(graph.ncores, jnp.float32)
+    # mask a quarter of the target's cores
+    t_mask = np.ones(graph.ncores, np.float32)
+    t_mask[:: 4] = 0.0
+    t_mask = jnp.asarray(t_mask)
+
+    fit_1 = make_masked_network_fidelity_fit(
+        graph, sgdg(1e-2, momentum=0.9, stiefel=True), max_steps=1, tol=0.0
+    )
+    fit_16 = make_masked_network_fidelity_fit(
+        graph, sgdg(1e-2, momentum=0.9, stiefel=True), max_steps=16, tol=0.0
+    )
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fit_1(params, mask, t_params, t_mask))
+    compile_s = time.perf_counter() - t0
+
+    dt = _timeit(
+        lambda: jax.block_until_ready(fit_16(params, mask, t_params, t_mask)),
+        repeats=3,
+        warmup=1,
+    )
+    return {
+        "stage": "large_network",
+        "n_qubits": n_qubits,
+        "n_cells": n_cells,
+        "n_cores": graph.ncores,
+        "compile_s": round(compile_s, 1),
+        "steps_per_sec": round(16.0 / dt, 2),
+        "ms_per_step": round(dt / 16.0 * 1e3, 3),
+    }
+
+
 ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "1_env_audit": stage_env_audit,
     "2_matmul_peak": stage_matmul_peak,
@@ -223,4 +273,5 @@ ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "5_collectives": stage_collectives,
     "6_checkpoint_io": stage_checkpoint_io,
     "6b_tn_workload": stage_tn_workload,
+    "7_large_network": stage_large_network,
 }

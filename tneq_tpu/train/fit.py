@@ -115,8 +115,10 @@ def make_masked_fidelity_fit(
         params_f, opt_state_f, steps, infid = jax.lax.while_loop(
             cond, body, init_carry
         )
-        # infid in the carry lags one step; report the exact exit value
-        final_infid = loss_fn(params_f, mask, target)
-        return FitResult(params_f, final_infid, steps, opt_state_f)
+        # report the infidelity that triggered the exit (measured before the
+        # final update) — the reference's convergence check also uses the
+        # pre-step fidelity and then still applies opt.step()
+        # (symmetry_breaking_quantum.py:157-171)
+        return FitResult(params_f, infid, steps, opt_state_f)
 
     return fit
