@@ -1,0 +1,98 @@
+"""Strategy compiler: pick the best contraction strategy for a circuit.
+
+Facade with the role of the reference's ``StrategyCompiler``
+(``tneq_qc/contractor/compiler.py``) minus its accidental complexity (its
+'fast'/'balanced'/'full' mode table all resolved to GreedyStrategy at import
+time — ``contractor/__init__.py:24-46``).  Dispatch here is structural:
+
+- chain topology           -> MPS transfer-matrix sweep (``mps_sweep``)
+- multi-device mesh given  -> index-sliced shard_map contraction (``parallel.mp``)
+- otherwise                -> the general einsum path (XLA-scheduled)
+
+with an opt-in cost estimate from the native pathfinder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+from ..graph.dsl import CircuitGraph
+from .contract import make_siamese_fn
+from .mps_sweep import is_mps_chain, mps_sweep_siamese_fn
+
+__all__ = ["compile_siamese", "estimate_cost"]
+
+
+def estimate_cost(graph: CircuitGraph, batch: int = 1) -> Optional[float]:
+    """Estimated element-ops of the siamese contraction (native greedy
+    path model; None when the native library is unavailable)."""
+    from ..native.path import path_cost
+    from .einsum_spec import siamese_spec
+
+    spec = siamese_spec(graph, with_states=True, states_batched=False)
+    shapes = []
+    for kind, key in spec.operands:
+        if kind in ("core", "core_conj"):
+            shapes.append(graph.shapes[key])
+        elif kind in ("state", "state_conj"):
+            shapes.append((graph.input_ranks[key],))
+        else:
+            shapes.append((batch, graph.output_ranks[key], graph.output_ranks[key]))
+    try:
+        return path_cost(spec.equation, shapes)
+    except Exception:
+        return None
+
+
+def compile_siamese(
+    graph: CircuitGraph,
+    mesh=None,
+    states_batched: bool = False,
+    measure_extra_dims: int = 1,
+    mode: str = "auto",
+) -> Tuple[Any, str]:
+    """Return ``(compute_fn, strategy_name)`` for the siamese contraction.
+
+    ``mode``: 'auto' (structural dispatch), 'einsum', 'mps_sweep', 'sliced'.
+    ``compute_fn(params, states, measures)`` has the ``make_siamese_fn``
+    signature in every case.
+    """
+    if mode not in ("auto", "einsum", "mps_sweep", "sliced"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if mode == "sliced" or (
+        mode == "auto" and mesh is not None and mesh.shape.get("model", 1) > 1
+    ):
+        from ..parallel.mp import make_sliced_siamese_fn
+
+        if mesh is None:
+            raise ValueError("sliced strategy needs a mesh")
+        return (
+            make_sliced_siamese_fn(
+                graph,
+                mesh,
+                states_batched=states_batched,
+                measure_extra_dims=measure_extra_dims,
+            ),
+            "sliced_shard_map",
+        )
+
+    if mode == "mps_sweep" or (
+        mode == "auto"
+        and is_mps_chain(graph)
+        and not states_batched
+        and measure_extra_dims == 1
+    ):
+        if not is_mps_chain(graph):
+            raise ValueError("graph is not an MPS chain")
+        return mps_sweep_siamese_fn(graph), "mps_sweep"
+
+    return (
+        make_siamese_fn(
+            graph,
+            with_states=True,
+            states_batched=states_batched,
+            measure_extra_dims=measure_extra_dims,
+        ),
+        "einsum_xla",
+    )
