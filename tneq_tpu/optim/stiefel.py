@@ -128,13 +128,10 @@ def sgdg(
             count=jnp.zeros((), jnp.int32),
         )
 
-    def _stiefel_update(g, p, v, subkey, lr):
+    def _stiefel_math(g, p, v, x, lr):
+        """Cayley update given the (possibly retracted) manifold point x."""
         shape = p.shape
         rows, cols = _rows_cols(shape)
-        x = unit_rows(p.reshape(rows, cols), eps)
-        if retraction_prob > 0:
-            do_retract = jax.random.bernoulli(subkey, retraction_prob)
-            x = jax.lax.cond(do_retract, qr_retraction, lambda m: m, x)
         # torch autograd hands SGDG the conjugate of what jax.grad returns
         # for real losses of complex params, and the reference then takes
         # conj(g)ᵀ (stiefel_optimizer_complex.py:130); with jax gradients the
@@ -153,6 +150,14 @@ def sgdg(
         v_next = w @ jnp.conj(x).T  # (cols, rows), saved for next step
         return p_new - p, v_next
 
+    def _stiefel_update(g, p, v, subkey, lr):
+        rows, cols = _rows_cols(p.shape)
+        x = unit_rows(p.reshape(rows, cols), eps)
+        if retraction_prob > 0:
+            do_retract = jax.random.bernoulli(subkey, retraction_prob)
+            x = jax.lax.cond(do_retract, qr_retraction, lambda m: m, x)
+        return _stiefel_math(g, p, v, x, lr)
+
     def _plain_update(g, p, buf, lr, count):
         # jax.grad -> descent direction for complex params is conj(g)
         d = jnp.conj(g)
@@ -170,23 +175,66 @@ def sgdg(
         return -_lr_at(learning_rate, count) * d, buf_new
 
     def update(grads, state: SGDGState, params):
+        """Fused update: Stiefel leaves are grouped by shape and processed
+        as ONE vmapped batch per shape group (one batched QR + one batched
+        Cayley solve instead of ncores tiny ops — the TPU-relevant case is a
+        brick wall where every core is the same small square)."""
         lr = _lr_at(learning_rate, state.count)
-        leaves = jax.tree.leaves(params)
-        n_leaves = len(leaves)
-        key, *subkeys = jax.random.split(state.key, n_leaves + 1)
-        treedef = jax.tree.structure(params)
-        key_tree = jax.tree.unflatten(treedef, subkeys)
+        flat_params, treedef = jax.tree.flatten(params)
+        flat_grads = jax.tree.leaves(grads)
+        flat_mom = jax.tree.leaves(state.momentum)
+        n = len(flat_params)
+        key, *subkeys = jax.random.split(state.key, n + 1)
 
-        def leaf_update(g, p, v, k):
+        updates_out: list = [None] * n
+        momentum_out: list = [None] * n
+
+        # group stiefel leaves by shape; plain leaves individually
+        groups: dict = {}
+        for i, p in enumerate(flat_params):
             if is_stiefel_leaf(p):
-                return _stiefel_update(g, p, v, k, lr)
-            return _plain_update(g, p, v, lr, state.count)
+                groups.setdefault(p.shape, []).append(i)
+            else:
+                u, m = _plain_update(
+                    flat_grads[i], p, flat_mom[i], lr, state.count
+                )
+                updates_out[i], momentum_out[i] = u, m
 
-        pairs = jax.tree.map(
-            leaf_update, grads, params, state.momentum, key_tree
-        )
-        updates = jax.tree.map(lambda pr: pr[0], pairs, is_leaf=lambda x: isinstance(x, tuple))
-        new_momentum = jax.tree.map(lambda pr: pr[1], pairs, is_leaf=lambda x: isinstance(x, tuple))
+        for shape, idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                u, m = _stiefel_update(
+                    flat_grads[i], flat_params[i], flat_mom[i], subkeys[i], lr
+                )
+                updates_out[i], momentum_out[i] = u, m
+                continue
+            rows, cols = _rows_cols(shape)
+            g_b = jnp.stack([flat_grads[i] for i in idxs])
+            p_b = jnp.stack([flat_params[i] for i in idxs])
+            v_b = jnp.stack([flat_mom[i] for i in idxs])
+            x_b = jax.vmap(
+                lambda p: unit_rows(p.reshape(rows, cols), eps)
+            )(p_b)
+            if retraction_prob > 0:
+                # one group-level draw (same expected 1/101 frequency as the
+                # reference's per-core draw) keeps the batched QR out of the
+                # steady-state path — a per-core cond would compute it every
+                # step under vmap
+                do_retract = jax.random.bernoulli(
+                    subkeys[idxs[0]], retraction_prob
+                )
+                x_b = jax.lax.cond(
+                    do_retract, jax.vmap(qr_retraction), lambda m: m, x_b
+                )
+            u_b, m_b = jax.vmap(
+                lambda g, p, v, x: _stiefel_math(g, p, v, x, lr)
+            )(g_b, p_b, v_b, x_b)
+            for j, i in enumerate(idxs):
+                updates_out[i] = u_b[j]
+                momentum_out[i] = m_b[j]
+
+        updates = jax.tree.unflatten(treedef, updates_out)
+        new_momentum = jax.tree.unflatten(treedef, momentum_out)
         return updates, SGDGState(new_momentum, key, state.count + 1)
 
     return GradientTransformation(init, update)
