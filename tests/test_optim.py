@@ -167,3 +167,36 @@ class TestFactory:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             make_optimizer("quantum_annealing")
+
+
+class TestCayleyVariants:
+    def test_iterative_matches_solve(self):
+        from tneq_tpu.optim.stiefel import _cayley_iterative, _cayley_solve
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+        w = w - w.T  # skew
+        x = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+        alpha = jnp.float32(0.8 / float(jnp.max(jnp.sum(jnp.abs(w), axis=0))))
+        exact = _cayley_solve(alpha, w, x)
+        approx = _cayley_iterative(alpha, w, x, iters=12)
+        np.testing.assert_allclose(
+            np.asarray(approx), np.asarray(exact), rtol=1e-4, atol=1e-5
+        )
+
+    def test_sgdg_iterative_converges(self):
+        from tneq_tpu.model.qctn import orthogonal_core
+        from tneq_tpu.train.losses import fidelity_loss
+
+        target = orthogonal_core(jax.random.PRNGKey(5), (2, 4), jnp.complex64)
+        p = {"a": orthogonal_core(jax.random.PRNGKey(6), (2, 4), jnp.complex64)}
+        loss = lambda p: fidelity_loss(p["a"], target)
+        opt = sgdg(0.5, momentum=0.9, stiefel=True, retraction_prob=0.0,
+                   cayley="iterative")
+        state = opt.init(p)
+        l0 = float(loss(p))
+        for _ in range(200):
+            g = jax.grad(loss)(p)
+            p, state = apply(opt, p, g, state)
+        assert float(loss(p)) < l0 * 0.1

@@ -1,0 +1,115 @@
+"""Accelerator-channel diagnostic: ordered capability probes.
+
+Diagnoses the axon TPU tunnel (see CLAUDE.md): each probe is alarm-guarded
+and the process exits at the FIRST hang so later probes are not poisoned by
+a wedged readback stream.  Run: ``python -m tneq_tpu.bench.axon_probe``.
+"""
+
+from __future__ import annotations
+
+import signal
+import sys
+import time
+
+
+class ProbeTimeout(Exception):
+    pass
+
+
+def _probe(name: str, fn, secs: int = 75) -> bool:
+    def handler(signum, frame):
+        raise ProbeTimeout(name)
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(secs)
+    t0 = time.time()
+    try:
+        v = fn()
+        print(f"{name}: OK {v!r} ({time.time() - t0:.1f}s)", flush=True)
+        return True
+    except ProbeTimeout:
+        print(f"{name}: HANG after {secs}s — stopping (channel now suspect)",
+              flush=True)
+        return False
+    except Exception as e:
+        print(f"{name}: ERROR {type(e).__name__}: {str(e)[:90]}", flush=True)
+        return True  # an error response means the channel still works
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    print(f"devices: {jax.devices()}", flush=True)
+    x = jnp.ones((4, 4), jnp.float32)
+    c = (x + 1j * x).astype(jnp.complex64)
+
+    f_sum = jax.jit(lambda a: jnp.sum(a * 2))
+    probes = [
+        ("eager-fetch", lambda: float(jnp.sum(x @ x))),
+        ("jit-sum-fetch", lambda: float(f_sum(x))),
+        ("jit-sum-again (re-execution)", lambda: float(f_sum(x + 1))),
+        ("jit-scan-f32",
+         lambda: float(jax.jit(
+             lambda a: jax.lax.scan(lambda s, _: (s @ a, jnp.sum(s)), a,
+                                    None, length=4)[1][-1])(x))),
+        ("jit-while-f32",
+         lambda: float(jnp.sum(jax.jit(
+             lambda a: jax.lax.while_loop(lambda s: jnp.sum(s) < 100,
+                                          lambda s: s * 2, a))(x)))),
+        ("jit-complex-qr",
+         lambda: complex(jax.jit(lambda a: jnp.linalg.qr(a)[0][0, 0])(c))),
+        ("jit-complex-solve",
+         lambda: complex(jax.jit(
+             lambda a: jnp.linalg.solve(
+                 a + 4 * jnp.eye(4, dtype=a.dtype), a)[0, 0])(c))),
+        ("sgdg-iterative-3steps", _sgdg_probe),
+    ]
+    for name, fn in probes:
+        if not _probe(name, fn):
+            return 1
+    print("all probes passed", flush=True)
+    return 0
+
+
+def _sgdg_probe():
+    import jax
+    import jax.numpy as jnp
+
+    from ..graph import parse_graph, wall_graph
+    from ..model.qctn import init_params
+    from ..ops.contract import make_core_only_fn
+    from ..optim import sgdg
+    from ..train.losses import fidelity
+
+    g = parse_graph(wall_graph(4, layers=2, dim=2))
+    params = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+    core_fn = make_core_only_fn(g)
+    target = core_fn(params)
+    opt = sgdg(1.0, momentum=0.9, stiefel=True, cayley="iterative",
+               retraction_prob=0.0)
+
+    @jax.jit
+    def run(params, target):
+        def body(carry, _):
+            params, st = carry
+            l, gr = jax.value_and_grad(
+                lambda p, t: 1.0 - fidelity(core_fn(p), t)
+            )(params, target)
+            u, st = opt.update(gr, st, params)
+            return (jax.tree.map(lambda a, b: a + b, params, u), st), l
+
+        (_, _), losses = jax.lax.scan(
+            body, (params, opt.init(params)), None, length=3
+        )
+        return losses[-1]
+
+    return float(run(params, target))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

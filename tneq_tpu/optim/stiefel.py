@@ -71,12 +71,34 @@ def _rows_cols(shape) -> tuple:
     return rows, cols
 
 
-def _cayley(alpha: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
+def _cayley_solve(alpha: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
     """Y = (I - α/2·W)⁻¹ (I + α/2·W) X via a linear solve
     (reference ``compute_Y``, ``stiefel_optimizer_complex.py:67-75``)."""
     eye = jnp.eye(w.shape[0], dtype=w.dtype)
     half = alpha.astype(w.real.dtype) / 2
     return jnp.linalg.solve(eye - half * w, (eye + half * w) @ x)
+
+
+def _cayley_iterative(
+    alpha: jax.Array, w: jax.Array, x: jax.Array, iters: int = 8
+) -> jax.Array:
+    """Same Cayley step by fixed-point iteration Y ← X + α·W·(X+Y)/2
+    (the reference's original ``Cayley_loop``, ``gutils.py:80-86``).
+
+    Matmul-only — no LU custom call — so it runs entirely on the MXU and
+    batches trivially under vmap.  Converges geometrically with rate
+    ``α/2·‖W‖ ≤ 1/2`` (the step size is clamped to 1/‖W‖₁)."""
+    half = alpha.astype(w.real.dtype) / 2
+    y = x
+    for _ in range(iters):
+        y = x + half * (w @ (x + y))
+    return y
+
+
+def _cayley(alpha, w, x, method: str = "solve", iters: int = 8):
+    if method == "solve":
+        return _cayley_solve(alpha, w, x)
+    return _cayley_iterative(alpha, w, x, iters)
 
 
 class SGDGState(NamedTuple):
@@ -100,8 +122,13 @@ def sgdg(
     retraction_prob: float = 1.0 / 101.0,
     eps: float = EPS,
     seed: int = 0,
+    cayley: str = "solve",
+    cayley_iters: int = 8,
 ) -> GradientTransformation:
     """Stiefel SGD-G with Cayley updates (reference ``SGDG``).
+
+    ``cayley``: 'solve' (exact, LU) or 'iterative' (matmul-only fixed point
+    — use on accelerators where the LU custom call is unavailable/slow).
 
     Returns an optax-compatible ``(init, update)`` pair; ``update`` needs
     ``params`` and returns additive updates (``new - old``) so standard
@@ -145,7 +172,7 @@ def sgdg(
         w = w_hat - jnp.conj(w_hat).T  # skew-Hermitian
         t = 1.0 / (matrix_norm_one(w) + eps)
         alpha = jnp.minimum(t, lr)
-        y = _cayley(alpha, w, jnp.conj(x).T)  # (cols, rows)
+        y = _cayley(alpha, w, jnp.conj(x).T, cayley, cayley_iters)  # (cols, rows)
         p_new = jnp.conj(y).T.reshape(shape)
         v_next = w @ jnp.conj(x).T  # (cols, rows), saved for next step
         return p_new - p, v_next
@@ -258,6 +285,8 @@ def adamg(
     retraction_prob: float = 1.0 / 101.0,
     eps: float = EPS,
     seed: int = 0,
+    cayley: str = "solve",
+    cayley_iters: int = 8,
 ) -> GradientTransformation:
     """Adam-G Grassmann/Stiefel variant (reference ``AdamG``), complex-aware
     and generalized beyond the reference's 4-D-only reshape."""
@@ -321,7 +350,7 @@ def adamg(
             # take −α to descend; the reference's active code uses +α and
             # ascends (its commented-out Cayley_loop call used −alpha,
             # stiefel_optimizer_complex.py:302-304) — defect not replicated.
-            y = _cayley(-alpha, w, jnp.conj(x).T)
+            y = _cayley(-alpha, w, jnp.conj(x).T, cayley, cayley_iters)
             p_new = jnp.conj(y).T.reshape(shape)
             m_next = (
                 w
