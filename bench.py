@@ -76,7 +76,6 @@ def bench_jax(device_budget_s: int = 420) -> tuple:
     def loss_fn(p, target):
         return 1.0 - fidelity(core_fn(p), target)
 
-    @jax.jit
     def run(params, target):
         def body(carry, _):
             params, opt_state = carry
@@ -107,17 +106,20 @@ def bench_jax(device_budget_s: int = 420) -> tuple:
         target = core_fn(eff)
         params = init_params(graph, k2, jnp.complex64)
 
-        log("compiling jax fit step...")
+        # AOT-compile then time ONE execution synchronized by the scalar
+        # fetch: this backend's block_until_ready does not actually wait,
+        # and re-executing the same program can hang (CLAUDE.md), so the
+        # usual warmup-then-retime pattern is wrong here and the fetch is
+        # the only reliable completion barrier.
+        log("AOT-compiling jax fit step...")
         t0 = time.time()
-        out = run(params, target)
-        jax.block_until_ready(out)
-        log(f"compile+first {BENCH_STEPS} steps: {time.time() - t0:.1f}s")
+        compiled = jax.jit(run).lower(params, target).compile()
+        log(f"compile: {time.time() - t0:.1f}s")
 
         t0 = time.time()
-        out = run(params, target)
-        jax.block_until_ready(out)
+        out = compiled(params, target)
+        final_infid = float(out)  # device->host fetch = completion barrier
         dt = time.time() - t0
-        final_infid = float(out)
         signal.alarm(0)
     except BenchTimeout:
         log("jax benchmark timed out (accelerator tunnel wedged?)")
