@@ -1,0 +1,95 @@
+"""Genetic circuit-structure search CLI.
+
+Rebuild of the reference's MPI structure-search entry point (launching
+``MPI_Overlord`` + ``MPI_Agent`` ranks via mpiexec): one process drives the
+:class:`EvolutionSearch` work queue against a goal circuit, with the
+reference's population/evolution knobs exposed as flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..genetic import CandidateEvaluator, EvolutionSearch, Individual
+from ..graph.dsl import parse_graph
+from ..model.qctn import init_params
+
+__all__ = ["main"]
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    p = argparse.ArgumentParser(description="QCTN genetic structure search")
+    p.add_argument("--tn-size", type=int, default=4,
+                   help="qubits (= cores of the fully-connected template)")
+    p.add_argument("--tn-rank", type=int, default=2)
+    p.add_argument("--goal-graph", type=str, default=None,
+                   help="DSL for the goal circuit (default: full connection)")
+    p.add_argument("--population", type=int, default=8)
+    p.add_argument("--generations", type=int, default=3)
+    p.add_argument("--evaluate-repeat", type=int, default=2)
+    p.add_argument("--top-k", type=int, default=3)
+    p.add_argument("--n-copy", type=int, default=2)
+    p.add_argument("--train-steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--method", default="adam")
+    p.add_argument("--timeout", type=float, default=1800.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", type=str, default=None)
+    args = p.parse_args(argv)
+
+    goal_src = args.goal_graph or Individual.create_full_connection(
+        "goal", tn_size=args.tn_size, tn_rank=args.tn_rank
+    ).graph.to_dsl()
+    goal = parse_graph(goal_src)
+    goal_params = init_params(goal, jax.random.PRNGKey(args.seed), jnp.float32)
+    print(f"goal circuit: {goal.nqubits} qubits, {goal.ncores} cores")
+
+    evaluator = CandidateEvaluator(
+        goal, goal_params,
+        max_iterations=args.train_steps,
+        method=args.method,
+        learning_rate=args.lr,
+        timeout=args.timeout,
+    )
+    search = EvolutionSearch(
+        evaluator,
+        generation_property={
+            "evaluate_repeat": args.evaluate_repeat,
+            "society_property": {
+                "society": [dict(n_individuals_span=args.population,
+                                 graph_string_template=goal_src)],
+            },
+        },
+        evolution_property={"top_k": args.top_k, "n_copy": args.n_copy},
+        max_generation=args.generations,
+        seed=args.seed,
+        tn_size=args.tn_size,
+        tn_rank=args.tn_rank,
+    )
+    best = search.run()
+    print(f"best individual {best.scope}: fitness={best.fitness_score:.5f} "
+          f"sparsity={best.sparsity:.3f} "
+          f"best_loss={min(best.report_loss):.5f}")
+    print(best.graph.to_dsl())
+    result = {
+        "scope": best.scope,
+        "fitness": best.fitness_score,
+        "sparsity": best.sparsity,
+        "losses": best.report_loss,
+        "graph": best.graph.to_dsl(),
+        "history": search.history,
+    }
+    if args.save:
+        with open(args.save, "w") as f:
+            json.dump(result, f, indent=2, default=str)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,6 @@ def make_sliced_siamese_fn(
                     ops.append(measures[key])
             return acc + jnp.einsum(spec.equation, *ops, optimize="auto")
 
-        out_shape_val = None
         acc0 = jnp.zeros(
             tuple(measures[0].shape[:measure_extra_dims]),
             dtype=jax.tree.leaves(params)[0].dtype,
