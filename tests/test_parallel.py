@@ -149,3 +149,43 @@ class TestSlicedModelParallel:
         fn = jax.jit(make_sliced_siamese_fn(graph, mesh))
         out = fn(params, states, measures)
         assert out.shape == (4,)
+
+
+class TestSlicedTwoNetwork:
+    def test_sliced_overlap_matches_unsliced(self):
+        from tneq_tpu.ops import make_two_network_fn
+        from tneq_tpu.parallel.mp import make_sliced_two_network_fn
+
+        g = parse_graph(wall_graph(4, layers=2, dim=2))
+        p1 = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        p2 = init_params(g, jax.random.PRNGKey(1), jnp.complex64)
+        mesh = make_mesh({"data": 4, "model": 2})
+        full = complex(make_two_network_fn(g, g, conj_target=True)(p1, p2))
+        sliced = complex(make_sliced_two_network_fn(g, g, mesh)(p1, p2))
+        assert abs(full - sliced) < 1e-5 * max(1.0, abs(full))
+
+    def test_sliced_overlap_differentiable(self):
+        from tneq_tpu.ops import make_two_network_fn
+        from tneq_tpu.parallel.mp import make_sliced_two_network_fn
+
+        g = parse_graph(wall_graph(4, layers=2, dim=2))
+        p1 = init_params(g, jax.random.PRNGKey(2), jnp.complex64)
+        p2 = init_params(g, jax.random.PRNGKey(3), jnp.complex64)
+        mesh = make_mesh({"data": 4, "model": 2})
+        fn_s = make_sliced_two_network_fn(g, g, mesh)
+        fn_f = make_two_network_fn(g, g, conj_target=True)
+
+        def loss_s(p):
+            ov = fn_s(p, p2)
+            return jnp.real(ov) ** 2 + jnp.imag(ov) ** 2
+
+        def loss_f(p):
+            ov = fn_f(p, p2)
+            return jnp.real(ov) ** 2 + jnp.imag(ov) ** 2
+
+        g_s = jax.grad(loss_s)(p1)
+        g_f = jax.grad(loss_f)(p1)
+        for n in p1:
+            np.testing.assert_allclose(
+                np.asarray(g_s[n]), np.asarray(g_f[n]), rtol=1e-3, atol=1e-5
+            )

@@ -304,6 +304,58 @@ def siamese_spec_sliced(
     return spec, slice_axes_t, ranks
 
 
+def two_network_spec_sliced(
+    graph1: CircuitGraph,
+    graph2: CircuitGraph,
+    sliced_bonds: Tuple[Tuple[int, int, int], ...],
+):
+    """Two-network overlap spec with chosen graph1 bonds turned into slices.
+
+    Same mechanics as :func:`siamese_spec_sliced` (see there): the returned
+    spec drops the sliced bond symbols from graph1's two incident cores, and
+    summing the contraction over all slice-index combinations reproduces the
+    full overlap.  Returns ``(spec, slice_axes, ranks)``.
+    """
+    base = two_network_spec(graph1, graph2)
+    subs_str, out = base.equation.split("->")
+    subs = subs_str.split(",")
+
+    # rebuild graph1's bond symbol allocation (same order as two_network_spec)
+    sym = _Symbols()
+    for _ in range(2 * graph1.nqubits):
+        sym.next()
+    bonds = _bond_symbols(graph1, sym)
+
+    slice_axes: Dict[str, list] = {}
+    for b_i, key in enumerate(sliced_bonds):
+        if key not in bonds:
+            raise ValueError(f"{key} is not an internal bond of graph1")
+        symbol = bonds[key]
+        for op_i, (kind, name) in enumerate(base.operands):
+            if kind != "core":
+                continue
+            sub = subs[op_i]
+            count = sub.count(symbol)
+            if count == 0:
+                continue
+            if count > 1:
+                raise ValueError(
+                    f"core {name!r} touches bond {key} more than once"
+                )
+            slice_axes.setdefault(name, []).append((b_i, sub.index(symbol)))
+            subs[op_i] = sub.replace(symbol, "")
+    spec = EinsumSpec(",".join(subs) + "->" + out, base.operands)
+    ranks = tuple(
+        next(
+            e.rank
+            for e in graph1.cores[k[0]].out_edges + graph1.cores[k[0]].in_edges
+            if e.qubit == k[2] and e.neighbor == k[1]
+        )
+        for k in sliced_bonds
+    )
+    return spec, {n: tuple(v) for n, v in slice_axes.items()}, ranks
+
+
 @lru_cache(maxsize=256)
 def two_network_spec(graph1: CircuitGraph, graph2: CircuitGraph) -> EinsumSpec:
     """⟨network2 | network1⟩: glue input↔input and output↔output -> scalar.

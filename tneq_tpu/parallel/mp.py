@@ -172,6 +172,84 @@ def make_sliced_siamese_fn(
     return fn
 
 
+def make_sliced_two_network_fn(
+    graph1: CircuitGraph,
+    graph2: CircuitGraph,
+    mesh: Mesh,
+    bonds: Optional[Sequence[BondKey]] = None,
+    model_axis: str = "model",
+    conj_target: bool = True,
+):
+    """Two-network overlap sharded over ``model_axis`` by bond slicing.
+
+    ``fn(params1, params2) -> scalar``, semantics of
+    :func:`tneq_tpu.ops.make_two_network_fn` — the multi-chip path for the
+    30+-qubit network-fidelity experiment (``train/network_fit.py``).
+    Differentiable end-to-end.
+    """
+    from ..ops.einsum_spec import two_network_spec_sliced
+
+    n_model = mesh.shape[model_axis]
+    if bonds is None:
+        bonds = choose_slice_bonds(graph1, n_model)
+    bonds = tuple(bonds)
+    spec, slice_axes, ranks = two_network_spec_sliced(graph1, graph2, bonds)
+    total = int(np.prod(ranks)) if ranks else 1
+    if total % n_model != 0:
+        raise ValueError(
+            f"slice space {total} not divisible by model axis size {n_model}"
+        )
+    local = total // n_model
+
+    def slice_params(params, flat_idx):
+        idxs = []
+        rem = flat_idx
+        for r in reversed(ranks):
+            idxs.append(rem % r)
+            rem = rem // r
+        idxs = idxs[::-1]
+        out = dict(params)
+        for name, axes in slice_axes.items():
+            arr = out[name]
+            for b_i, axis in sorted(axes, key=lambda t: -t[1]):
+                arr = jax.lax.dynamic_index_in_dim(
+                    arr, idxs[b_i], axis, keepdims=False
+                )
+            out[name] = arr
+        return out
+
+    def contract(params1, params2):
+        shard = jax.lax.axis_index(model_axis)
+        base = shard * local
+        p2 = (
+            {k: jnp.conj(v) for k, v in params2.items()}
+            if conj_target
+            else dict(params2)
+        )
+
+        def one(off, acc):
+            p1 = slice_params(params1, base + off)
+            ops = []
+            for kind, key in spec.operands:
+                ops.append(p1[key] if kind == "core" else p2[key])
+            return acc + jnp.einsum(spec.equation, *ops, optimize="auto")
+
+        acc0 = jnp.zeros((), dtype=jax.tree.leaves(params1)[0].dtype)
+        acc = jax.lax.fori_loop(0, local, one, acc0) if local > 1 else one(0, acc0)
+        return jax.lax.psum(acc, model_axis)
+
+    # all other mesh axes: replicated compute (specify them as unmapped)
+    in_specs = (P(), P())
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P()
+    )
+    def sharded(params1, params2):
+        return contract(params1, params2)
+
+    return sharded
+
+
 def sliced_nll_loss(
     graph: CircuitGraph,
     mesh: Mesh,
