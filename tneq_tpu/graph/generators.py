@@ -158,8 +158,30 @@ def random_graph(
     return "\n".join(lines)
 
 
-def example_graph(n: int = 16, graph_type: str = "mps", dim: int = 3) -> str:
+#: The reference's fixed 5-qubit example circuit
+#: (``QCTNHelper.generate_example_graph(target=True)``, ``qctn.py:36-41``).
+TARGET_EXAMPLE = (
+    "-2-A-5-----C-3-----E-2-\n"
+    "-2-----B----4------E-2-\n"
+    "-2-A-4-B-7-C-2-D-4-E-2-\n"
+    "-2-----B-6-----D-----2-\n"
+    "-2-A-3-----C-8-D-----2-"
+)
+
+
+def triu_ndindex(n: int):
+    """Upper-triangle index pairs (``QCTNHelper.triu_ndindex``, ``qctn.py:450``)."""
+    for i in range(n):
+        for j in range(i + 1, n):
+            yield (i, j)
+
+
+def example_graph(
+    n: int = 16, graph_type: str = "mps", dim: int = 3, target: bool = False
+) -> str:
     """Dispatcher matching ``QCTNHelper.generate_example_graph`` modes."""
+    if target:
+        return TARGET_EXAMPLE
     if graph_type == "mps":
         return mps_graph(n, dim)
     if graph_type == "tree":

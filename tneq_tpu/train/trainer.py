@@ -143,6 +143,30 @@ class Trainer:
         """Jitted ``(params, opt_state, states, x) -> (params, opt_state, loss)``."""
         return self._train_step
 
+    def make_chunked_step(self, n_steps: int) -> Callable:
+        """``(params, opt_state, states, xs[n_steps, B, nq]) ->
+        (params, opt_state, losses[n_steps])``: ``n_steps`` updates in ONE
+        device program (lax.scan over the batch stack) — removes per-step
+        host round trips; use when the loop body has no per-step hooks."""
+        optimizer = self.optimizer
+
+        def chunk(params, opt_state, states, xs):
+            def body(carry, x):
+                params, opt_state = carry
+                loss_val, grads = jax.value_and_grad(self.loss)(
+                    params, states, x
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return (params, opt_state), loss_val
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), xs
+            )
+            return params, opt_state, losses
+
+        return jax.jit(chunk)
+
     # -- loop -------------------------------------------------------------
 
     def fit(
