@@ -1,0 +1,57 @@
+"""Benchmark-suite smoke tests (small sizes; correctness of records)."""
+
+import json
+
+from tneq_tpu.bench import (
+    stage_checkpoint_io,
+    stage_collectives,
+    stage_env_audit,
+    stage_matmul_peak,
+    stage_memory_bandwidth,
+    stage_tn_workload,
+    stage_transpose_cost,
+)
+
+
+def test_env_audit():
+    rec = stage_env_audit()
+    assert rec["platform"] == "cpu" and rec["n_devices"] == 8
+
+
+def test_matmul_peak_small():
+    rec = stage_matmul_peak(sizes=(128,), dtypes=("float32",))
+    assert rec["results"][0]["gflops"] > 0
+
+
+def test_memory_bandwidth_small():
+    rec = stage_memory_bandwidth(sizes_mb=(4,))
+    assert rec["results"][0]["gbps"] > 0
+
+
+def test_transpose_cost_small():
+    rec = stage_transpose_cost(n=256)
+    assert rec["transpose_ms"] > 0
+
+
+def test_collectives_small():
+    rec = stage_collectives(size_mb=1)
+    assert rec["results"]["psum"]["ms"] > 0
+
+
+def test_checkpoint_io_small(tmp_path):
+    rec = stage_checkpoint_io(tmpdir=str(tmp_path), size_mb=2)
+    assert rec["save_mbps"] > 0 and rec["load_mbps"] > 0
+
+
+def test_tn_workload_small():
+    rec = stage_tn_workload(n_qubits=4, n_cells=2, batch=8)
+    assert rec["grad_steps_per_sec"] > 0
+
+
+def test_run_all_cli(tmp_path, capsys):
+    from tneq_tpu.bench.run_all import main
+
+    rc = main(["--stages", "1", "--out", str(tmp_path), "--timeout", "60"])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert summary and summary[0]["ok"]

@@ -65,8 +65,10 @@ def sample(
         graph, with_states=True, states_batched=False, measure_extra_dims=1
     )
 
+    # params/states must be ARGUMENTS (not closure captures): captured
+    # device arrays fail jit lowering on the axon TPU backend (CLAUDE.md)
     @partial(jax.jit, static_argnames=())
-    def step(q, persistent, subkey, mx_grid, grid_x_d):
+    def step(params, states, q, persistent, subkey, mx_grid, grid_x_d):
         # assemble per-qubit (S, G, K, K) operators
         grid_b = jnp.broadcast_to(mx_grid[None], (S, G, K, K))
         measures = []
@@ -104,8 +106,11 @@ def sample(
     )
     samples = np.zeros((S, nq), np.float32)
     grid_x_d = jnp.asarray(grid_x)
+    states_t = tuple(jnp.asarray(s) for s in states)
     for q in range(nq):
         key, subkey = jax.random.split(key)
-        y, persistent = step(q, persistent, subkey, mx_grid, grid_x_d)
+        y, persistent = step(
+            params, states_t, q, persistent, subkey, mx_grid, grid_x_d
+        )
         samples[:, q] = np.asarray(y)
     return jnp.asarray(samples)
