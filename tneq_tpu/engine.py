@@ -47,6 +47,7 @@ class EngineSiamese:
         self.mx_K = mx_K
         self.use_scaling = use_scaling
         self._grad_cache: Dict[Any, Any] = {}
+        self._fwd_cache: Dict[Any, Any] = {}
 
     # -- data (reference :133-254) ----------------------------------------
 
@@ -75,19 +76,40 @@ class EngineSiamese:
             ]
         graph, params = _resolve(qctn)
         sb = any(getattr(s, "ndim", 1) == 2 for s in (circuit_states_list or []))
-        if self.use_scaling or ret_type == "scaled":
-            fn = scaled_siamese_fn(graph, circuit_states_list is not None, sb)
-            raw, log_scale = fn(params, circuit_states_list, list(measure_input_list))
-            if jnp.iscomplexobj(raw):
-                probs, log_scale = abs_square(raw), 2.0 * log_scale
+        scaled = self.use_scaling or ret_type == "scaled"
+        key = ("fwd", graph.signature, sb, scaled,
+               tuple(np.shape(m) for m in measure_input_list))
+        if key not in self._fwd_cache:
+            if scaled:
+                contract = scaled_siamese_fn(
+                    graph, circuit_states_list is not None, sb
+                )
+
+                def fwd(params, states, measures):
+                    raw, log_scale = contract(params, states, measures)
+                    if jnp.iscomplexobj(raw):
+                        return abs_square(raw), 2.0 * log_scale
+                    return raw, log_scale
+
             else:
-                probs = raw
+                contract = make_siamese_fn(
+                    graph, circuit_states_list is not None, sb
+                )
+
+                def fwd(params, states, measures):
+                    raw = contract(params, states, measures)
+                    return abs_square(raw) if jnp.iscomplexobj(raw) else raw
+
+            self._fwd_cache[key] = jax.jit(fwd)
+        out = self._fwd_cache[key](
+            params, circuit_states_list, list(measure_input_list)
+        )
+        if scaled:
+            probs, log_scale = out
             if ret_type == "scaled":
                 return probs, log_scale
             return probs * jnp.exp(log_scale)
-        fn = make_siamese_fn(graph, circuit_states_list is not None, sb)
-        raw = fn(params, circuit_states_list, list(measure_input_list))
-        return abs_square(raw) if jnp.iscomplexobj(raw) else raw
+        return out
 
     def contract_with_compiled_strategy_for_gradient(
         self,
