@@ -189,3 +189,42 @@ class TestSlicedTwoNetwork:
             np.testing.assert_allclose(
                 np.asarray(g_s[n]), np.asarray(g_f[n]), rtol=1e-3, atol=1e-5
             )
+
+
+class TestMultihost:
+    def test_detect_none_by_default(self, monkeypatch):
+        from tneq_tpu.parallel.multihost import detect_multihost
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "MASTER_ADDR", "WORLD_SIZE"):
+            monkeypatch.delenv(var, raising=False)
+        assert detect_multihost() is None
+
+    def test_detect_jax_vars(self, monkeypatch):
+        from tneq_tpu.parallel.multihost import detect_multihost
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        d = detect_multihost()
+        assert d == {"coordinator_address": "10.0.0.1:1234",
+                     "num_processes": 4, "process_id": 2}
+
+    def test_detect_torchstyle_vars(self, monkeypatch):
+        from tneq_tpu.parallel.multihost import detect_multihost
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("MASTER_ADDR", "node0")
+        monkeypatch.setenv("MASTER_PORT", "29500")
+        monkeypatch.setenv("WORLD_SIZE", "2")
+        monkeypatch.setenv("RANK", "1")
+        d = detect_multihost()
+        assert d["coordinator_address"] == "node0:29500"
+        assert d["num_processes"] == 2 and d["process_id"] == 1
+
+    def test_initialize_noop_single_process(self, monkeypatch):
+        from tneq_tpu.parallel.multihost import initialize_multihost, is_main_process
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "MASTER_ADDR", "WORLD_SIZE"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize_multihost() is False
+        assert is_main_process()
