@@ -254,7 +254,7 @@ def stage_large_network(n_qubits: int = 32, n_cells: int = 2, **_) -> Dict[str, 
         repeats=3,
         warmup=1,
     )
-    return {
+    rec = {
         "stage": "large_network",
         "n_qubits": n_qubits,
         "n_cells": n_cells,
@@ -263,6 +263,57 @@ def stage_large_network(n_qubits: int = 32, n_cells: int = 2, **_) -> Dict[str, 
         "steps_per_sec": round(16.0 / dt, 2),
         "ms_per_step": round(dt / 16.0 * 1e3, 3),
     }
+    try:
+        torch_sps = _torch_network_step_baseline(graph)
+        rec["torch_cpu_steps_per_sec"] = round(torch_sps, 2)
+        rec["vs_torch_cpu"] = round(rec["steps_per_sec"] / torch_sps, 1)
+    except Exception as e:  # baseline is best-effort
+        rec["torch_cpu_error"] = f"{type(e).__name__}: {e}"
+    return rec
+
+
+def _torch_network_step_baseline(graph, n_steps: int = 10) -> float:
+    """Equivalent torch-CPU network-fidelity gradient step (the reference's
+    stack: opt_einsum expression + torch autograd + momentum update)."""
+    import torch
+    import opt_einsum as oe
+
+    from ..ops.einsum_spec import two_network_spec
+
+    spec = two_network_spec(graph, graph)
+    shapes = [graph.shapes[name] for _, name in spec.operands]
+    gen = torch.Generator().manual_seed(0)
+    params = [
+        torch.nn.Parameter(
+            torch.randn(graph.shapes[n], generator=gen, dtype=torch.complex64)
+        )
+        for n in graph.core_names
+    ]
+    target = [
+        torch.randn(graph.shapes[n], generator=gen, dtype=torch.complex64)
+        for n in graph.core_names
+    ]
+    expr = oe.contract_expression(spec.equation, *shapes, optimize="greedy")
+    bufs = [torch.zeros_like(p) for p in params]
+
+    def step():
+        ov = expr(*params, *[t.conj() for t in target], backend="torch")
+        oo = expr(*params, *[p.conj() for p in params], backend="torch")
+        loss = -(torch.log(ov.abs() ** 2 + 1e-30) - torch.log(oo.real + 1e-30))
+        for p in params:
+            if p.grad is not None:
+                p.grad = None
+        loss.backward()
+        with torch.no_grad():
+            for p, b in zip(params, bufs):
+                b.mul_(0.9).add_(p.grad.conj())
+                p.add_(b, alpha=-0.01)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
 
 
 ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
