@@ -40,3 +40,42 @@ class TestFusedTransferStep:
         f = jax.jit(lambda e, aa, m: fused_transfer_step(e, aa, m, interpret=True))
         out = f(env, a, mx)
         assert out.shape == (8, 2, 2)
+
+
+class TestFusedTransferStepComplex:
+    @pytest.mark.parametrize("B,D,K", [(4, 2, 2), (130, 3, 2)])
+    def test_matches_einsum(self, B, D, K):
+        from tneq_tpu.ops.pallas_kernels import fused_transfer_step_complex
+
+        rng = np.random.default_rng(0)
+        mk = lambda s: jnp.asarray(
+            (rng.normal(size=s) + 1j * rng.normal(size=s)), jnp.complex64
+        )
+        env, a, mx = mk((B, D, D)), mk((D, K, D)), mk((B, K, K))
+        got = fused_transfer_step_complex(env, a, mx, interpret=True)
+        expect = jnp.einsum(
+            "zab,akc,zkl,bld->zcd", env, a, mx, jnp.conj(a)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), rtol=1e-4, atol=1e-4
+        )
+
+    def test_real_kernel_consistency(self):
+        """Complex kernel on real inputs == real kernel."""
+        from tneq_tpu.ops.pallas_kernels import (
+            fused_transfer_step,
+            fused_transfer_step_complex,
+        )
+
+        rng = np.random.default_rng(1)
+        env = jnp.asarray(rng.normal(size=(8, 2, 2)), jnp.float32)
+        a = jnp.asarray(rng.normal(size=(2, 2, 2)), jnp.float32)
+        mx = jnp.asarray(rng.normal(size=(8, 2, 2)), jnp.float32)
+        r = fused_transfer_step(env, a, mx, interpret=True)
+        c = fused_transfer_step_complex(
+            env.astype(jnp.complex64), a.astype(jnp.complex64),
+            mx.astype(jnp.complex64), interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c).real, np.asarray(r), rtol=1e-4, atol=1e-5
+        )

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_transfer_step", "pallas_supported"]
+__all__ = ["fused_transfer_step", "fused_transfer_step_complex", "pallas_supported"]
 
 
 def pallas_supported(dtype) -> bool:
@@ -98,4 +98,90 @@ def fused_transfer_step(
     )(w, env_t, mx_t)
 
     out = out_t[:, :B].reshape(Dc, Dd, B)
+    return jnp.transpose(out, (2, 0, 1))
+
+
+def fused_transfer_step_complex(
+    env: jax.Array,  # [B, Da, Db] complex64
+    a: jax.Array,  # [Da, K, Dc] complex64
+    mx: jax.Array,  # [B, K, K] complex64
+    block_z: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Complex transfer step as ONE real MXU matmul per batch block.
+
+    Mosaic has no complex dtype, so the complex product ``W @ E`` is lowered
+    to the stacked real form ``[[Wr, -Wi], [Wi, Wr]] @ [Er; Ei]`` with the
+    elementwise complex multiply ``E = env·Mx`` expanded in-kernel on the
+    VPU.  The bra side uses conj(A) (Born rule)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Da, Db = env.shape
+    _, K, Dc = a.shape
+    Dd = Dc
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    w = jnp.einsum("akc,bld->cdabkl", a, jnp.conj(a)).reshape(
+        Dc * Dd, Da * Db * K * K
+    )
+    wr, wi = jnp.real(w), jnp.imag(w)
+    w2 = jnp.concatenate(
+        [jnp.concatenate([wr, -wi], axis=1), jnp.concatenate([wi, wr], axis=1)],
+        axis=0,
+    )  # [2CD, 2ABKL]
+
+    BZ = _round_up(min(block_z, B), 128)
+    B_pad = _round_up(B, BZ)
+
+    def _prep(x, rows):
+        t = jnp.transpose(x, (1, 2, 0)).reshape(rows, B)
+        if B_pad != B:
+            t = jnp.pad(t, ((0, 0), (0, B_pad - B)))
+        return t
+
+    env_r = _prep(jnp.real(env), Da * Db)
+    env_i = _prep(jnp.imag(env), Da * Db)
+    mx_r = _prep(jnp.real(mx), K * K)
+    mx_i = _prep(jnp.imag(mx), K * K)
+
+    def kernel(w_ref, er_ref, ei_ref, mr_ref, mi_ref, out_ref):
+        er, ei = er_ref[:], ei_ref[:]  # [AB, BZ]
+        mr, mi = mr_ref[:], mi_ref[:]  # [KL, BZ]
+        ab, kl = er.shape[0], mr.shape[0]
+        Er = (er[:, None, :] * mr[None, :, :] - ei[:, None, :] * mi[None, :, :]
+              ).reshape(ab * kl, -1)
+        Ei = (er[:, None, :] * mi[None, :, :] + ei[:, None, :] * mr[None, :, :]
+              ).reshape(ab * kl, -1)
+        e2 = jnp.concatenate([Er, Ei], axis=0)  # [2ABKL, BZ]
+        out_ref[:] = jnp.dot(
+            w_ref[:], e2, preferred_element_type=jnp.float32
+        )
+
+    abkl = Da * Db * K * K
+    out2 = pl.pallas_call(
+        kernel,
+        grid=(B_pad // BZ,),
+        in_specs=[
+            pl.BlockSpec((2 * Dc * Dd, 2 * abkl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Da * Db, BZ), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Da * Db, BZ), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, BZ), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, BZ), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * Dc * Dd, BZ), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * Dc * Dd, B_pad), jnp.float32),
+        interpret=interpret,
+    )(w2, env_r, env_i, mx_r, mx_i)
+
+    out_r = out2[: Dc * Dd, :B].reshape(Dc, Dd, B)
+    out_i = out2[Dc * Dd :, :B].reshape(Dc, Dd, B)
+    out = (out_r + 1j * out_i).astype(env.dtype)
     return jnp.transpose(out, (2, 0, 1))
