@@ -78,3 +78,25 @@ class TestMPSSweep:
             np.testing.assert_allclose(
                 np.asarray(g1[n]), np.asarray(g2[n]), rtol=1e-3, atol=1e-5
             )
+
+
+class TestPallasSweep:
+    def test_pallas_sweep_matches_xla(self):
+        g, params, states, measures = setup(6, dtype=jnp.complex64)
+        xla = mps_sweep_siamese_fn(g)(params, states, measures)
+        pal = mps_sweep_siamese_fn(g, use_pallas=True, pallas_interpret=True)(
+            params, states, measures
+        )
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(xla), rtol=1e-3, atol=1e-5
+        )
+
+    def test_pallas_sweep_real(self):
+        g, params, states, measures = setup(5, dtype=jnp.float32)
+        xla = mps_sweep_siamese_fn(g)(params, states, measures)
+        pal = mps_sweep_siamese_fn(g, use_pallas=True, pallas_interpret=True)(
+            params, states, measures
+        )
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(xla), rtol=1e-3, atol=1e-5
+        )

@@ -45,16 +45,43 @@ def is_mps_chain(graph: CircuitGraph) -> bool:
     return True
 
 
-def mps_sweep_siamese_fn(graph: CircuitGraph, conj_right: bool = True):
+def mps_sweep_siamese_fn(
+    graph: CircuitGraph,
+    conj_right: bool = True,
+    use_pallas: bool = False,
+    pallas_interpret: Optional[bool] = None,
+):
     """fn(params, states, measures) -> [B] siamese values (chain only).
 
     ``states``: per-qubit ``(rank,)`` vectors; ``measures``: per-qubit
     ``(B, K, K)`` operators.  Semantics identical to
     :func:`tneq_tpu.ops.make_siamese_fn` on chain graphs.
+
+    ``use_pallas``: run the middle transfer steps through the fused VMEM
+    kernel (``ops/pallas_kernels.py``) instead of the XLA einsum.
     """
     if not is_mps_chain(graph):
         raise ValueError("graph is not an MPS chain; use make_siamese_fn")
+    if use_pallas and not conj_right:
+        raise ValueError("use_pallas implies the Born-rule conjugated bra")
     m = graph.ncores
+
+    def _transfer(env, a, mx, conj):
+        if use_pallas:
+            from .pallas_kernels import (
+                fused_transfer_step,
+                fused_transfer_step_complex,
+            )
+
+            if jnp.iscomplexobj(env) or jnp.iscomplexobj(a):
+                return fused_transfer_step_complex(
+                    env.astype(jnp.complex64),
+                    a.astype(jnp.complex64),
+                    mx.astype(jnp.complex64),
+                    interpret=pallas_interpret,
+                )
+            return fused_transfer_step(env, a, mx, interpret=pallas_interpret)
+        return jnp.einsum("zab,akc,zkl,bld->zcd", env, a, mx, conj(a))
 
     def fn(params, states, measures):
         conj = jnp.conj if conj_right else (lambda x: x)
@@ -95,17 +122,12 @@ def mps_sweep_siamese_fn(graph: CircuitGraph, conj_right: bool = True):
 
             def step(env, inputs):
                 a, mx = inputs
-                env = jnp.einsum(
-                    "zab,akc,zkl,bld->zcd", env, a, mx, conj(a)
-                )
-                return env, None
+                return _transfer(env, a, mx, conj), None
 
             env, _ = jax.lax.scan(step, env, (stacked, mx_stack))
         else:
             for i, a in enumerate(mids):
-                env = jnp.einsum(
-                    "zab,akc,zkl,bld->zcd", env, a, measures[i + 1], conj(a)
-                )
+                env = _transfer(env, a, measures[i + 1], conj)
 
         a_last = jnp.einsum(
             "askl,s->akl", params[names[m - 1]], states[m]
