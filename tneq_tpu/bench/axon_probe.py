@@ -49,10 +49,11 @@ def main() -> int:
     c = (x + 1j * x).astype(jnp.complex64)
 
     f_sum = jax.jit(lambda a: jnp.sum(a * 2))
+    # NOTE: the re-execution probe goes LAST — if it wedges the channel the
+    # process must exit immediately, and we still have the op answers.
     probes = [
         ("eager-fetch", lambda: float(jnp.sum(x @ x))),
         ("jit-sum-fetch", lambda: float(f_sum(x))),
-        ("jit-sum-again (re-execution)", lambda: float(f_sum(x + 1))),
         ("jit-scan-f32",
          lambda: float(jax.jit(
              lambda a: jax.lax.scan(lambda s, _: (s @ a, jnp.sum(s)), a,
@@ -68,6 +69,7 @@ def main() -> int:
              lambda a: jnp.linalg.solve(
                  a + 4 * jnp.eye(4, dtype=a.dtype), a)[0, 0])(c))),
         ("sgdg-iterative-3steps", _sgdg_probe),
+        ("jit-sum-again (re-execution)", lambda: float(f_sum(x + 1))),
     ]
     for name, fn in probes:
         if not _probe(name, fn):
