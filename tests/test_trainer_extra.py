@@ -47,3 +47,31 @@ def test_chunked_step_matches_loop():
         np.testing.assert_allclose(
             np.asarray(p1[n]), np.asarray(p2[n]), atol=1e-4
         )
+
+
+def test_data_utils():
+    from tneq_tpu.train.data import cycle_batches, gaussian_batches, shuffled_epochs
+
+    batches = gaussian_batches(3, 8, 4, seed=1)
+    assert len(batches) == 3 and batches[0].shape == (8, 4)
+    # determinism
+    again = gaussian_batches(3, 8, 4, seed=1)
+    np.testing.assert_array_equal(np.asarray(batches[0]), np.asarray(again[0]))
+
+    it = cycle_batches(batches)
+    seq = [next(it) for _ in range(5)]
+    np.testing.assert_array_equal(np.asarray(seq[3]), np.asarray(batches[0]))
+
+    sh = shuffled_epochs(batches, seed=0)
+    epoch1 = [next(sh) for _ in range(3)]
+    assert len(epoch1) == 3
+
+
+def test_profiling_trace_smoke(tmp_path):
+    from tneq_tpu.utils.profiling import trace, annotate
+
+    with trace(str(tmp_path)):
+        with annotate("span"):
+            _ = jnp.ones((4,)) * 2
+    # a trace produces at least one file under the log dir
+    assert any(tmp_path.rglob("*"))

@@ -5,7 +5,8 @@ TPU-native rewrite of the reference's torch optimizers
 ``AdamG`` at ``:178-338``; manifold helpers ``tneq_qc/optim/gutils.py``):
 
 - pure functional ``init``/``update`` (composable with optax / jit / scan)
-- Cayley transform via ``jnp.linalg.solve`` instead of explicit inverse
+- Cayley transform via ``jnp.linalg.solve`` (or a matmul-only fixed-point
+  iteration, ``cayley="iterative"``) instead of explicit inverse
 - PRNG-keyed stochastic QR retraction (the reference uses
   ``random.randint`` on the host, ``stiefel_optimizer_complex.py:111-113``)
 - complex-aware throughout (skew-Hermitian ``W``, conjugate transposes)
