@@ -90,10 +90,27 @@ class TestSlicedModelParallel:
         bonds4 = choose_slice_bonds(graph, 4)
         assert len(bonds4) == 2
 
-    def test_choose_impossible_raises(self):
-        g = parse_graph(mps_graph(3, dim=3))  # bond ranks 3: no factor of 2
+    def test_choose_insufficient_raises(self):
+        g = parse_graph("-2-A-2-")  # no internal bonds at all
         with pytest.raises(ValueError):
             choose_slice_bonds(g, 2)
+
+    def test_padded_slicing_matches_unsliced(self):
+        # bond rank 3 over a 2-way model axis: slice space padded 3 -> 4
+        g = parse_graph(mps_graph(3, dim=3))
+        params = init_params(g, jax.random.PRNGKey(7), jnp.complex64)
+        mesh = make_mesh({"data": 4, "model": 2})
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(4, 3)), jnp.float32
+        )
+        states = basis_states(g)
+        mx = measurement_matrices(x, 3).astype(jnp.complex64)
+        measures = [mx[:, q] for q in range(3)]
+        full = make_siamese_fn(g)(params, states, measures)
+        got = make_sliced_siamese_fn(g, mesh)(params, states, measures)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(full), atol=1e-5
+        )
 
     @pytest.mark.parametrize("model_size", [2, 4])
     def test_sliced_matches_unsliced(self, graph, params, model_size):

@@ -50,6 +50,7 @@ def mps_sweep_siamese_fn(
     conj_right: bool = True,
     use_pallas: bool = False,
     pallas_interpret: Optional[bool] = None,
+    remat: bool = False,
 ):
     """fn(params, states, measures) -> [B] siamese values (chain only).
 
@@ -124,6 +125,10 @@ def mps_sweep_siamese_fn(
                 a, mx = inputs
                 return _transfer(env, a, mx, conj), None
 
+            if remat:
+                # rematerialize per transfer step when differentiating deep
+                # chains: O(1) stored environments instead of O(m)
+                step = jax.checkpoint(step)
             env, _ = jax.lax.scan(step, env, (stacked, mx_stack))
         else:
             for i, a in enumerate(mids):

@@ -44,8 +44,9 @@ def _internal_bonds(graph: CircuitGraph) -> List[Tuple[BondKey, int]]:
 
 
 def choose_slice_bonds(graph: CircuitGraph, n_slices: int) -> Tuple[BondKey, ...]:
-    """Greedily pick internal bonds whose rank product is divisible by
-    ``n_slices`` (slice-count per device = product / n_slices).
+    """Greedily pick internal bonds whose rank product covers ``n_slices``
+    (slice-count per device = ceil(product / n_slices); a non-divisible
+    product is padded and masked).
 
     The reference instead shards the cut-index product of its fixed core
     partition (``distributed_engine.py:1384-1435``); choosing max-rank bonds
@@ -63,11 +64,13 @@ def choose_slice_bonds(graph: CircuitGraph, n_slices: int) -> Tuple[BondKey, ...
             break
         chosen.append(key)
         prod *= rank
-    if prod % n_slices != 0:
+    if prod % n_slices != 0 and prod < n_slices:
         raise ValueError(
-            f"cannot factor {n_slices} slices from bond ranks "
+            f"cannot reach {n_slices} slices from bond ranks "
             f"{[r for _, r in bonds]} (product {prod})"
         )
+    # a non-divisible product is fine: the slice space is padded and the
+    # out-of-range slice indices masked out (some devices idle on the tail)
     return tuple(chosen)
 
 
@@ -96,11 +99,7 @@ def make_sliced_siamese_fn(
         graph, bonds, True, states_batched, measure_extra_dims
     )
     total = int(np.prod(ranks)) if ranks else 1
-    if total % n_model != 0:
-        raise ValueError(
-            f"slice space {total} not divisible by model axis size {n_model}"
-        )
-    local = total // n_model
+    local = -(-total // n_model)  # ceil: pad, mask the tail
 
     def slice_params(params, flat_idx):
         """Take the slice of each affected core for one flat slice index."""
@@ -141,12 +140,17 @@ def make_sliced_siamese_fn(
                     ops.append(jnp.conj(states[key]))
                 elif kind == "measure":
                     ops.append(measures[key])
-            return acc + jnp.einsum(spec.equation, *ops, optimize="auto")
+            val = jnp.einsum(spec.equation, *ops, optimize="auto")
+            val = jnp.where(base + off < total, val, jnp.zeros_like(val))
+            return acc + val
 
         acc0 = jnp.zeros(
             tuple(measures[0].shape[:measure_extra_dims]),
             dtype=jax.tree.leaves(params)[0].dtype,
         )
+        # the loop body output varies over the mesh axes (it reads
+        # axis_index); the initial carry must carry the same varying type
+        acc0 = jax.lax.pcast(acc0, tuple(mesh.axis_names), to="varying")
         acc = jax.lax.fori_loop(0, local, one, acc0) if local > 1 else one(0, acc0)
         return jax.lax.psum(acc, model_axis)
 
@@ -195,11 +199,7 @@ def make_sliced_two_network_fn(
     bonds = tuple(bonds)
     spec, slice_axes, ranks = two_network_spec_sliced(graph1, graph2, bonds)
     total = int(np.prod(ranks)) if ranks else 1
-    if total % n_model != 0:
-        raise ValueError(
-            f"slice space {total} not divisible by model axis size {n_model}"
-        )
-    local = total // n_model
+    local = -(-total // n_model)  # ceil: pad, mask the tail
 
     def slice_params(params, flat_idx):
         idxs = []
@@ -232,9 +232,14 @@ def make_sliced_two_network_fn(
             ops = []
             for kind, key in spec.operands:
                 ops.append(p1[key] if kind == "core" else p2[key])
-            return acc + jnp.einsum(spec.equation, *ops, optimize="auto")
+            val = jnp.einsum(spec.equation, *ops, optimize="auto")
+            val = jnp.where(base + off < total, val, jnp.zeros_like(val))
+            return acc + val
 
         acc0 = jnp.zeros((), dtype=jax.tree.leaves(params1)[0].dtype)
+        # vary only over the model axis: the psum removes it again and the
+        # scalar output stays replicated over every other axis
+        acc0 = jax.lax.pcast(acc0, (model_axis,), to="varying")
         acc = jax.lax.fori_loop(0, local, one, acc0) if local > 1 else one(0, acc0)
         return jax.lax.psum(acc, model_axis)
 
