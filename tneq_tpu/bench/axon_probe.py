@@ -75,7 +75,67 @@ def main() -> int:
         if not _probe(name, fn):
             return 1
     print("all probes passed", flush=True)
+    if "--bench" in sys.argv:
+        return 0 if _probe("headline-bench", _headline_bench, secs=420) else 1
     return 0
+
+
+def _headline_bench():
+    """The bench.py measurement inline (AOT compile + one timed execution)
+    so a single healthy channel window yields the number."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..graph import build_brick_wall_incidence, incidence_to_graph, parse_graph
+    from ..model.qctn import init_params
+    from ..ops.contract import make_core_only_fn
+    from ..optim import sgdg
+    from ..train.fit import identity_cores
+    from ..train.losses import fidelity
+
+    N = 400
+    graph = parse_graph(
+        incidence_to_graph(build_brick_wall_incidence(8, 5, 2))
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    core_fn = make_core_only_fn(graph)
+    t_params = init_params(graph, k1, jnp.complex64)
+    mask = np.ones(graph.ncores, np.float32)
+    mask[: graph.ncores // 2] = 0.0
+    idents = identity_cores(graph, jnp.complex64)
+    eff = {
+        n: jnp.asarray(mask[i], jnp.complex64) * t_params[n]
+        + jnp.asarray(1 - mask[i], jnp.complex64) * idents[n]
+        for i, n in enumerate(graph.core_names)
+    }
+    target = core_fn(eff)
+    params = init_params(graph, k2, jnp.complex64)
+    optimizer = sgdg(1.0, momentum=0.9, stiefel=True)
+
+    def run(params, target):
+        def body(carry, _):
+            params, st = carry
+            l, g = jax.value_and_grad(
+                lambda p, t: 1.0 - fidelity(core_fn(p), t)
+            )(params, target)
+            u, st = optimizer.update(g, st, params)
+            return (jax.tree.map(lambda a, b: a + b, params, u), st), l
+
+        (_, _), losses = jax.lax.scan(
+            body, (params, optimizer.init(params)), None, length=N
+        )
+        return losses[-1]
+
+    t0 = time.time()
+    compiled = jax.jit(run).lower(params, target).compile()
+    print(f"  compile: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    infid = float(compiled(params, target))
+    dt = time.time() - t0
+    return f"{N / dt:.1f} steps/s (exec+fetch {dt:.2f}s, 1-F={infid:.4f})"
 
 
 def _sgdg_probe():
