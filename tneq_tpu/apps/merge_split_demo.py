@@ -13,7 +13,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..graph.generators import example_graph
 from ..model.qctn import QCTN

@@ -14,7 +14,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..genetic import CandidateEvaluator, EvolutionSearch, Individual
 from ..graph.dsl import parse_graph

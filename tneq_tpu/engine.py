@@ -10,7 +10,7 @@ reference's attribute-on-qctn hack (``engine_siamese.py:300``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the TPU runtime; the work queue is in-process).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List
+from typing import Any, List
 
 __all__ = ["REASONS", "SURVIVAL", "AgentStatus", "IndividualStatus",
            "default_fitness", "reason_name"]

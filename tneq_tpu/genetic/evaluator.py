@@ -15,8 +15,7 @@ so re-evaluations and copies of a parent cost no recompile.
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 
-from .codes import REASONS, AgentStatus, reason_name
+from .codes import REASONS, AgentStatus
 from .evaluator import CandidateEvaluator
 from .generation import Generation
 from .individual import Individual

@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Tuple
 
-from .dsl import get_symbol, parse_graph, symbol_index
+from .dsl import get_symbol, parse_graph
 
 __all__ = ["split_graph", "merge_graphs"]
 

@@ -11,7 +11,7 @@ contraction:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ CDF (``abs_square`` applied to an already-squared value,
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ with an opt-in cost estimate from the native pathfinder.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 from ..graph.dsl import CircuitGraph
 from .contract import make_siamese_fn

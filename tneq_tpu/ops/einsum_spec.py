@@ -23,9 +23,9 @@ matching the runtime GreedyStrategy path (``greedy_strategy.py:676-680``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from ..graph.dsl import CircuitGraph, get_symbol
 

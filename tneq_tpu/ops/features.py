@@ -19,7 +19,7 @@ stays O(1) and φ_k(x) = (2π)^(-¼)·exp(-x²/4)·h̃_k(x).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

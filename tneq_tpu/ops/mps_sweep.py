@@ -15,7 +15,7 @@ StrategyCompiler mode table collapses to this one dispatch.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

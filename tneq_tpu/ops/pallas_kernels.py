@@ -15,12 +15,10 @@ complex dtype); the sweep falls back to the XLA path for complex inputs.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["fused_transfer_step", "fused_transfer_step_complex", "pallas_supported"]
 

@@ -11,7 +11,7 @@ pytree — where ``data`` is kept O(1) by max-abs normalization and
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

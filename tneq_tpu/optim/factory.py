@@ -11,7 +11,7 @@ from typing import Any
 
 import optax
 
-from .stiefel import adamg, sgdg, GradientTransformation
+from .stiefel import adamg, sgdg
 
 __all__ = ["make_optimizer"]
 

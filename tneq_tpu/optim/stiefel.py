@@ -21,7 +21,7 @@ momentum/``gᴴ`` algebra carries over unchanged.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Union
+from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp

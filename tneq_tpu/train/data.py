@@ -9,7 +9,7 @@ batch iterator that cycles like the reference's ``Optimizer`` loop.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,14 +17,13 @@ whole N-thousand-step Stiefel fit runs on-device inside one
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..graph.dsl import CircuitGraph
-from ..model.qctn import init_params
 from ..ops.contract import make_core_only_fn
 from ..optim.stiefel import GradientTransformation
 from .losses import fidelity

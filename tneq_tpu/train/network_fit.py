@@ -24,7 +24,7 @@ overlap contractions can be index-sliced over a mesh axis (``parallel/mp.py``).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

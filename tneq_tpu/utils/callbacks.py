@@ -13,7 +13,7 @@ import pickle
 import time
 from dataclasses import asdict, is_dataclass
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List
 
 __all__ = ["CallbackList", "ExperimentRecorder"]
 
