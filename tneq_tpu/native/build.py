@@ -59,6 +59,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.tneq_path_cost.argtypes = lib.tneq_find_path.argtypes[:-1] + [
             ctypes.POINTER(ctypes.c_double)
         ]
+        lib.tneq_find_path_dp.restype = ctypes.c_int
+        lib.tneq_find_path_dp.argtypes = lib.tneq_find_path.argtypes
         _lib = lib
         return _lib
 

@@ -52,12 +52,21 @@ def _pack(ops, sizes, out):
     return c_off, c_sym, c_sizes, c_out
 
 
+# operand counts up to this run the exact bitmask-DP search (exponential in
+# n but sub-millisecond in C++); larger networks use the greedy heuristic
+DP_MAX_OPERANDS = 16
+
+
 def find_path(
-    equation: str, shapes: Sequence[Sequence[int]]
+    equation: str,
+    shapes: Sequence[Sequence[int]],
+    method: str = "auto",
 ) -> Optional[List[Tuple[int, int]]]:
-    """Greedy pairwise contraction path for an einsum, or None when the
-    native library is unavailable.  The result is an opt_einsum-style path
-    usable as ``jnp.einsum(..., optimize=path)``."""
+    """Pairwise contraction path for an einsum, or None when the native
+    library is unavailable.  ``method``: 'auto' (optimal DP up to
+    ``DP_MAX_OPERANDS`` operands, greedy beyond), 'greedy', or 'dp'.
+    The result is an opt_einsum-style path usable as
+    ``jnp.einsum(..., optimize=path)``."""
     lib = load_library()
     if lib is None:
         return None
@@ -67,9 +76,15 @@ def find_path(
         return [(0,)] if n == 1 else []
     c_off, c_sym, c_sizes, c_out = _pack(ops, sizes, out)
     path_buf = (ctypes.c_int * (2 * (n - 1)))()
-    rc = lib.tneq_find_path(
+    use_dp = method == "dp" or (method == "auto" and n <= DP_MAX_OPERANDS)
+    fn = lib.tneq_find_path_dp if use_dp else lib.tneq_find_path
+    rc = fn(
         n, c_off, c_sym, c_sizes, len(sizes), c_out, len(out), path_buf
     )
+    if rc != 0 and use_dp:  # DP refused (too many operands): greedy fallback
+        rc = lib.tneq_find_path(
+            n, c_off, c_sym, c_sizes, len(sizes), c_out, len(out), path_buf
+        )
     if rc != 0:
         return None
     return [

@@ -157,6 +157,129 @@ extern "C" int tneq_find_path(int n_ops, const int* op_offsets,
     return 0;
 }
 
+// Optimal pairwise-contraction order by bitmask dynamic programming over
+// operand subsets (Held-Karp style).  cost[S] = min over nonempty proper
+// subsets L of S of cost[L] + cost[S\L] + flops(contract(L, S\L)).
+// Exponential in n_ops — callers cap n_ops (<= ~16).  Emits the same
+// opt_einsum-style (i, j) position-pair path as tneq_find_path.
+extern "C" int tneq_find_path_dp(int n_ops, const int* op_offsets,
+                                 const int* op_symbols, const double* sym_sizes,
+                                 int n_syms, const int* out_symbols, int n_out,
+                                 int* path_out) {
+    if (n_ops < 1 || n_ops > 20 || n_syms < 1) return 1;
+    const int words = (n_syms + 63) / 64;
+    const uint32_t FULL = (n_ops == 32) ? 0xFFFFFFFFu
+                                        : ((1u << n_ops) - 1u);
+
+    std::vector<int> refcount(n_syms, 0);
+    for (int i = 0; i < n_out; ++i) refcount[out_symbols[i]] += 1;
+    std::vector<std::vector<uint64_t>> op_masks(n_ops,
+                                                std::vector<uint64_t>(words, 0));
+    for (int i = 0; i < n_ops; ++i) {
+        for (int k = op_offsets[i]; k < op_offsets[i + 1]; ++k) {
+            int s = op_symbols[k];
+            if (s < 0 || s >= n_syms) return 2;
+            if (!get_bit(op_masks[i], s)) refcount[s] += 1;
+            set_bit(op_masks[i], s);
+        }
+    }
+
+    const uint32_t n_sets = FULL + 1u;
+    // per-subset: union of symbols, result (kept) symbols, best cost, split
+    std::vector<std::vector<uint64_t>> uni(n_sets,
+                                           std::vector<uint64_t>(words, 0));
+    std::vector<std::vector<uint64_t>> res(n_sets,
+                                           std::vector<uint64_t>(words, 0));
+    std::vector<double> cost(n_sets, 1e300);
+    std::vector<uint32_t> split(n_sets, 0);
+
+    // kept symbols of subset S: used outside S (by other operands or output)
+    auto compute_sets = [&](uint32_t S) {
+        std::vector<uint64_t> u(words, 0);
+        std::vector<int> inner(n_syms, 0);
+        for (int i = 0; i < n_ops; ++i) {
+            if (!(S >> i & 1)) continue;
+            for (int w = 0; w < words; ++w) u[w] |= op_masks[i][w];
+            for (int s = 0; s < n_syms; ++s)
+                if (get_bit(op_masks[i], s)) inner[s] += 1;
+        }
+        uni[S] = u;
+        std::vector<uint64_t> r(words, 0);
+        for (int s = 0; s < n_syms; ++s) {
+            if (!get_bit(u, s)) continue;
+            if (refcount[s] - inner[s] > 0) set_bit(r, s);
+        }
+        res[S] = std::move(r);
+    };
+
+    for (uint32_t S = 1; S <= FULL; ++S) {
+        compute_sets(S);
+        if (!(S & (S - 1))) {  // singleton
+            cost[S] = 0.0;
+            continue;
+        }
+        // iterate proper submasks
+        for (uint32_t L = (S - 1) & S; L; L = (L - 1) & S) {
+            uint32_t R = S & ~L;
+            if (L < R) continue;  // each split once
+            if (cost[L] >= 1e300 || cost[R] >= 1e300) continue;
+            // cost of this pairwise step: product over the union of the
+            // two subtrees' OPEN (result) index sets — interior indices
+            // were contracted within the subtrees already
+            std::vector<uint64_t> ru(words);
+            for (int w = 0; w < words; ++w)
+                ru[w] = res[L][w] | res[R][w];
+            double flops = mask_size(ru, sym_sizes, n_syms);
+            double c = cost[L] + cost[R] + flops;
+            if (c < cost[S]) {
+                cost[S] = c;
+                split[S] = L;
+            }
+        }
+    }
+
+    // reconstruct: post-order emit of (i, j) position pairs in a simulated
+    // shrinking operand list (contracted result appended at the end)
+    std::vector<std::pair<uint32_t, uint32_t>> merges;
+    // DFS: children before parent
+    {
+        std::vector<uint32_t> visit = {FULL};
+        std::vector<uint32_t> post;
+        while (!visit.empty()) {
+            uint32_t S = visit.back();
+            visit.pop_back();
+            post.push_back(S);
+            if (S & (S - 1)) {  // not singleton
+                visit.push_back(split[S]);
+                visit.push_back(S & ~split[S]);
+            }
+        }
+        for (auto it = post.rbegin(); it != post.rend(); ++it)
+            if (*it & (*it - 1)) merges.push_back({split[*it], *it & ~split[*it]});
+    }
+    // simulate the operand list as subsets
+    std::vector<uint32_t> live;
+    for (int i = 0; i < n_ops; ++i) live.push_back(1u << i);
+    int step = 0;
+    for (auto& m : merges) {
+        int i_pos = -1, j_pos = -1;
+        for (int p = 0; p < (int)live.size(); ++p) {
+            if (live[p] == m.first) i_pos = p;
+            else if (live[p] == m.second) j_pos = p;
+        }
+        if (i_pos < 0 || j_pos < 0) return 3;
+        int a = std::min(i_pos, j_pos), b = std::max(i_pos, j_pos);
+        path_out[2 * step] = a;
+        path_out[2 * step + 1] = b;
+        ++step;
+        uint32_t merged = m.first | m.second;
+        live.erase(live.begin() + b);
+        live.erase(live.begin() + a);
+        live.push_back(merged);
+    }
+    return 0;
+}
+
 // Batched variant: amortizes ctypes overhead when scoring many candidate
 // networks (genetic search cost model).  Returns total estimated flops of
 // the greedy path per network.

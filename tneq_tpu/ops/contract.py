@@ -88,10 +88,10 @@ def _cached_native_path(equation: str, shapes: tuple):
         return None
 
 
-# Use the native C++ greedy path search once networks get large (the
-# trace-time hot spot for big circuits); below that opt_einsum's 'auto'
-# (optimal for tiny networks) is better.
-_NATIVE_PATH_MIN_OPERANDS = 12
+# Use the native C++ path search (exact DP for small networks, greedy for
+# large ones) once past trivial sizes; below that opt_einsum's 'auto'
+# (optimal up to 4 operands) is already exact.
+_NATIVE_PATH_MIN_OPERANDS = 5
 
 
 def _einsum(spec: EinsumSpec, ops: List[jax.Array]) -> jax.Array:
