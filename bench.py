@@ -74,7 +74,8 @@ def bench_jax(device_budget_s: int = 420) -> tuple:
     # NOTE: target must be an argument (not a closure capture): the axon TPU
     # backend cannot host-copy captured device arrays during lowering.
     def loss_fn(p, target):
-        return 1.0 - fidelity(core_fn(p), target)
+        with jax.default_matmul_precision("highest"):
+            return 1.0 - fidelity(core_fn(p), target)
 
     def run(params, target):
         def body(carry, _):

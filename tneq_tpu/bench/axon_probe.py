@@ -118,9 +118,10 @@ def _headline_bench():
     def run(params, target):
         def body(carry, _):
             params, st = carry
-            l, g = jax.value_and_grad(
-                lambda p, t: 1.0 - fidelity(core_fn(p), t)
-            )(params, target)
+            with jax.default_matmul_precision("highest"):
+                l, g = jax.value_and_grad(
+                    lambda p, t: 1.0 - fidelity(core_fn(p), t)
+                )(params, target)
             u, st = optimizer.update(g, st, params)
             return (jax.tree.map(lambda a, b: a + b, params, u), st), l
 

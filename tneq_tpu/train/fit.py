@@ -97,6 +97,12 @@ def make_masked_fidelity_fit(
 
     @jax.jit
     def fit(params, mask, target) -> FitResult:
+        # fidelity convergence to 1e-3 needs full f32 matmuls: the TPU
+        # default (fast bf16 passes) stalls the optimizer near bf16 noise
+        with jax.default_matmul_precision("highest"):
+            return _fit_body(params, mask, target)
+
+    def _fit_body(params, mask, target) -> FitResult:
         opt_state = optimizer.init(params)
 
         def cond(carry):

@@ -107,6 +107,11 @@ def make_masked_network_fidelity_fit(
 
     @jax.jit
     def fit(params, mask, target_params, target_mask) -> FitResult:
+        # full-precision matmuls (see train/fit.py)
+        with jax.default_matmul_precision("highest"):
+            return _fit_body(params, mask, target_params, target_mask)
+
+    def _fit_body(params, mask, target_params, target_mask) -> FitResult:
         target_eff_n = _normalize(effective(target_params, target_mask))
         log_tt = jnp.log(
             jnp.real(overlap_fn(target_eff_n, target_eff_n)) + _TINY
