@@ -13,6 +13,7 @@ Run: ``python -m tneq_tpu.bench.run_all [--stages 1,2,...] [--out DIR]``.
 from .microbench import (
     stage_env_audit,
     stage_matmul_peak,
+    stage_dtype_policy,
     stage_memory_bandwidth,
     stage_transpose_cost,
     stage_collectives,
@@ -25,6 +26,7 @@ from .microbench import (
 __all__ = [
     "stage_env_audit",
     "stage_matmul_peak",
+    "stage_dtype_policy",
     "stage_memory_bandwidth",
     "stage_transpose_cost",
     "stage_collectives",

@@ -215,6 +215,46 @@ def stage_tn_workload(n_qubits: int = 8, n_cells: int = 5, batch: int = 32, **_)
     }
 
 
+def stage_dtype_policy(n_qubits: int = 8, n_cells: int = 5, batch: int = 256, **_) -> Dict[str, Any]:
+    """bf16-compute vs f32 throughput for REAL-dtype likelihood training
+    (the dtype-policy knob, ``utils/dtypes.py``; stage-1 dtype_comparison
+    analogue of the reference tooling)."""
+    from ..graph import build_brick_wall_incidence, incidence_to_graph, parse_graph
+    from ..model.qctn import init_params
+    from ..ops.contract import make_siamese_fn
+    from ..ops.features import measurement_matrices
+    from ..train.losses import nll_loss
+    from ..train.trainer import basis_states
+
+    graph = parse_graph(
+        incidence_to_graph(build_brick_wall_incidence(n_qubits, n_cells, 2))
+    )
+    params32 = init_params(graph, jax.random.PRNGKey(0), jnp.float32)
+    states = basis_states(graph, dtype=jnp.float32)
+    fn = make_siamese_fn(graph)
+    x = jnp.zeros((batch, n_qubits), jnp.float32)
+
+    results = {}
+    for name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        params = {k: v.astype(dtype) for k, v in params32.items()}
+        st = [jnp.asarray(s).astype(dtype) for s in states]
+
+        def loss(params, x):
+            mx = measurement_matrices(x, 2).astype(dtype)
+            measures = [mx[:, q] for q in range(graph.nqubits)]
+            raw = fn(params, st, measures)
+            return nll_loss(raw.astype(jnp.float32))
+
+        grad = jax.jit(jax.value_and_grad(loss))
+        dt = _timeit(lambda: jax.block_until_ready(grad(params, x)))
+        results[name] = {"grad_ms": round(dt * 1e3, 3)}
+    results["bf16_speedup"] = round(
+        results["float32"]["grad_ms"] / results["bfloat16"]["grad_ms"], 2
+    )
+    return {"stage": "dtype_policy", "n_qubits": n_qubits, "batch": batch,
+            "results": results}
+
+
 def stage_large_network(n_qubits: int = 32, n_cells: int = 2, **_) -> Dict[str, Any]:
     """North-star proxy (BASELINE.md): 30+-qubit symmetry-breaking circuit,
     network-space fidelity gradient step (no dense target — impossible at
@@ -323,6 +363,7 @@ ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "3b_transpose_cost": stage_transpose_cost,
     "5_collectives": stage_collectives,
     "6_checkpoint_io": stage_checkpoint_io,
+    "2b_dtype_policy": stage_dtype_policy,
     "6b_tn_workload": stage_tn_workload,
     "7_large_network": stage_large_network,
 }
