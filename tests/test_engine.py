@@ -138,3 +138,22 @@ class TestEngineFacade:
         np.testing.assert_allclose(
             np.asarray(p_vec), np.asarray(p_mat), rtol=1e-4
         )
+
+
+def test_gradient_list_form(model=None):
+    from tneq_tpu.model import QCTN
+    from tneq_tpu.graph import wall_graph
+
+    m = QCTN(wall_graph(4, layers=2, dim=2), key=jax.random.PRNGKey(0))
+    engine = EngineSiamese()
+    states = basis_states(m.graph)
+    x = jnp.zeros((4, 4), jnp.float32)
+    mx, _ = engine.generate_data(x, K=2)
+    loss_d, gd = engine.contract_with_compiled_strategy_for_gradient(m, states, mx)
+    loss_l, gl = engine.contract_with_compiled_strategy_for_gradient(
+        m, states, mx, ret="list"
+    )
+    assert isinstance(gl, list) and len(gl) == m.ncores
+    np.testing.assert_allclose(
+        np.asarray(gl[0]), np.asarray(gd[m.cores[0]]), atol=1e-7
+    )

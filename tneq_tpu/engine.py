@@ -117,10 +117,12 @@ class EngineSiamese:
         circuit_states_list: Optional[Sequence] = None,
         measure_input_list: Sequence = (),
         measure_is_matrix: bool = True,
-    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        ret: str = "dict",
+    ) -> Tuple[jax.Array, Any]:
         """(loss, grads): NLL against the all-ones target with the detached
-        log-scale correction (reference :351-554).  ``grads`` is a dict by
-        core name (the reference returns a positional list)."""
+        log-scale correction (reference :351-554).  ``ret='dict'`` keys
+        grads by core name; ``ret='list'`` matches the reference's
+        positional ordering over ``qctn.cores``."""
         if not measure_is_matrix:
             measure_input_list = [
                 jnp.einsum("...k,...l->...kl", jnp.conj(m), m)
@@ -158,6 +160,8 @@ class EngineSiamese:
         loss, grads = self._grad_cache[key](
             params, circuit_states_list, list(measure_input_list)
         )
+        if ret == "list":
+            return loss, [grads[n] for n in qctn.cores]
         return loss, grads
 
     # -- probabilities (reference :561-734) -------------------------------
