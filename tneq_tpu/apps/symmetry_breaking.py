@@ -147,24 +147,36 @@ def target_tensor_init(
 
 
 def validate_target_tensor(
-    exp: Experiment, target, key: jax.Array
-) -> Tuple[bool, float, int]:
+    exp: Experiment, target, key: jax.Array, return_params: bool = False
+):
     """Refit a fresh full network to the target; success at 1-F < tol
-    (reference ``symmetry_breaking_quantum.py:150-177``)."""
+    (reference ``symmetry_breaking_quantum.py:150-177``).
+
+    ``return_params=True`` additionally returns the fitted weights — the
+    warm-start seed for the pruning loop."""
     params = init_params(exp.graph, key, exp.cfg.dtype)
     full_mask = exp.mask_vector([])
     res = exp.run_fit(exp.validate_fit, params, full_mask, target)
     infid = float(res.infidelity)
+    if return_params:
+        return infid < exp.cfg.tol, 1.0 - infid, int(res.steps), res.params
     return infid < exp.cfg.tol, 1.0 - infid, int(res.steps)
 
 
 def symmetry_breaking(
     exp: Experiment,
-    target: jax.Array,
+    target,
     key: jax.Array,
     verbose: bool = True,
+    warm_params=None,
 ) -> Tuple[List[int], int]:
     """Greedy pruning loop (reference ``symmetry_breaking_quantum.py:184-242``).
+
+    ``warm_params``: weights to warm-start candidate fits from (typically the
+    validated full-network fit).  The reference restarts every candidate from
+    a fresh random init, which at 8 qubits leaves the raw-fidelity gradient
+    at F ~ 0 where lr=1e-2 barely moves; warm-starting keeps F high so the
+    same optimizer converges quickly.  ``None`` = reference cold-start.
 
     Returns ``(pruned_list, prune_count)`` — the indices successfully pruned
     and how many candidate fits were attempted.
@@ -174,6 +186,7 @@ def symmetry_breaking(
     pruned: List[int] = []
     prune_count = 0
     candidates = list(range(exp.graph.ncores))
+    current = warm_params
 
     for outer in range(cfg.max_outer_iterations):
         pruned_any = False
@@ -190,7 +203,11 @@ def symmetry_breaking(
                     print(f"  skip core {idx}: would empty a qubit row")
                 continue
             key, sub = jax.random.split(key)
-            params = init_params(exp.graph, sub, cfg.dtype)
+            params = (
+                current
+                if current is not None
+                else init_params(exp.graph, sub, cfg.dtype)
+            )
             res = exp.run_fit(
                 exp.prune_fit, params, exp.mask_vector(trial), target
             )
@@ -198,6 +215,8 @@ def symmetry_breaking(
             if infid < cfg.tol:
                 pruned = trial
                 pruned_any = True
+                if warm_params is not None:
+                    current = res.params
                 if verbose:
                     print(
                         f"  pruned core {idx} (now {len(pruned)} pruned), "
@@ -225,6 +244,10 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--target-mask", type=int, nargs="*", default=None)
     p.add_argument("--save", type=str, default=None, help="save best run JSON")
+    p.add_argument("--cold-start", action="store_true",
+                   help="fresh random init per pruning candidate "
+                        "(reference behavior; default warm-starts from the "
+                        "validated fit)")
     p.add_argument("--fidelity-mode", choices=["dense", "network"],
                    default="dense",
                    help="'network' computes fidelity from network overlaps "
@@ -266,7 +289,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     while True:
         key, k1, k2 = jax.random.split(key, 3)
         target = target_tensor_init(exp, target_mask, k1)
-        ok, fid, steps = validate_target_tensor(exp, target, k2)
+        ok, fid, steps, fitted = validate_target_tensor(
+            exp, target, k2, return_params=True
+        )
         print(f"target validation: fidelity={fid:.6f} in {steps} steps "
               f"({'ok' if ok else 'regenerating'})")
         if ok:
@@ -278,7 +303,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     for restart in range(args.restarts):
         key, sub = jax.random.split(key)
         print(f"=== restart {restart} ===")
-        pruned, count = symmetry_breaking(exp, target, sub)
+        pruned, count = symmetry_breaking(
+            exp, target, sub, warm_params=None if args.cold_start else fitted
+        )
         total_attempts += count
         if len(pruned) > len(best_pruned):
             best_pruned = pruned

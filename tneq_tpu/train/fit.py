@@ -66,6 +66,7 @@ def make_masked_fidelity_fit(
     tol: float = 1e-3,
     dtype=jnp.complex64,
     order: str = "reference",
+    loss_kind: str = "raw",
 ) -> Callable:
     """Build ``fit(params, mask, target) -> FitResult``, fully jitted.
 
@@ -89,11 +90,16 @@ def make_masked_fidelity_fit(
         }
 
     def loss_fn(params, mask, target):
+        """Returns (loss, 1-F).  loss_kind='raw' is the reference objective
+        1-F; 'log' uses -log F (scale-free gradient — useful when a cold
+        random start sits at F ~ 2^-2n where the raw gradient ∝ F dies)."""
         out = core_fn(effective(params, mask))
         fid = fidelity(out, target)
-        return 1.0 - fid
+        if loss_kind == "log":
+            return -jnp.log(fid + 1e-30), 1.0 - fid
+        return 1.0 - fid, 1.0 - fid
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     @jax.jit
     def fit(params, mask, target) -> FitResult:
@@ -111,7 +117,7 @@ def make_masked_fidelity_fit(
 
         def body(carry):
             params, opt_state, step, _ = carry
-            infid, grads = grad_fn(params, mask, target)
+            (_, infid), grads = grad_fn(params, mask, target)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return (params, opt_state, step + 1, infid)
