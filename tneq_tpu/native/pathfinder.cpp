@@ -57,102 +57,154 @@ extern "C" int tneq_find_path(int n_ops, const int* op_offsets,
                               int n_syms, const int* out_symbols, int n_out,
                               int* path_out) {
     if (n_ops < 1 || n_syms < 1) return 1;
-    const int words = (n_syms + 63) / 64;
 
-    // per-symbol operand reference counts (a symbol contracts away once no
-    // other remaining operand nor the output uses it)
+    // Incremental slot-based greedy: operands live in fixed slots with
+    // per-operand SYMBOL LISTS and a symbol -> slots occupancy map kept up
+    // to date across merges.  Candidate pairs are only slots sharing a
+    // symbol, so each step costs O(sum of contact-list lengths) — ~O(n)
+    // for bounded-degree tensor networks, O(n^2) overall (the previous
+    // all-pairs rescan was O(n^4) and unusable beyond ~500 operands).
     std::vector<int> refcount(n_syms, 0);
-    std::vector<uint64_t> out_mask(words, 0);
-    for (int i = 0; i < n_out; ++i) {
-        set_bit(out_mask, out_symbols[i]);
-        refcount[out_symbols[i]] += 1;  // output counts as a user
-    }
+    for (int i = 0; i < n_out; ++i) refcount[out_symbols[i]] += 1;
 
-    std::vector<Operand> ops;
-    ops.reserve(n_ops);
+    struct Slot {
+        std::vector<int> syms;  // sorted unique symbol ids
+        double size = 1.0;
+        bool live = false;
+    };
+    std::vector<Slot> slots;
+    slots.reserve(2 * n_ops);
+    std::vector<std::vector<int>> sym_slots(n_syms);  // lazy-deleted
+
+    auto size_of = [&](const std::vector<int>& syms) {
+        double sz = 1.0;
+        for (int s : syms) sz *= sym_sizes[s];
+        return sz;
+    };
+
     for (int i = 0; i < n_ops; ++i) {
-        Operand op;
-        op.mask.assign(words, 0);
+        Slot sl;
         for (int k = op_offsets[i]; k < op_offsets[i + 1]; ++k) {
             int s = op_symbols[k];
             if (s < 0 || s >= n_syms) return 2;
-            if (!get_bit(op.mask, s)) refcount[s] += 1;
-            set_bit(op.mask, s);
+            sl.syms.push_back(s);
         }
-        op.size = mask_size(op.mask, sym_sizes, n_syms);
-        ops.push_back(std::move(op));
+        std::sort(sl.syms.begin(), sl.syms.end());
+        sl.syms.erase(std::unique(sl.syms.begin(), sl.syms.end()),
+                      sl.syms.end());
+        for (int s : sl.syms) {
+            refcount[s] += 1;
+            sym_slots[s].push_back(i);
+        }
+        sl.size = size_of(sl.syms);
+        sl.live = true;
+        slots.push_back(std::move(sl));
     }
 
-    auto result_mask = [&](const Operand& a, const Operand& b) {
-        // union of indices, minus those used ONLY by a and b (refcount 2)
-        std::vector<uint64_t> u(words);
-        for (int w = 0; w < words; ++w) u[w] = a.mask[w] | b.mask[w];
-        std::vector<uint64_t> r(words, 0);
-        for (int s = 0; s < n_syms; ++s) {
-            if (!get_bit(u, s)) continue;
-            int users = refcount[s];
-            int in_a = get_bit(a.mask, s), in_b = get_bit(b.mask, s);
-            if (users - in_a - in_b > 0) set_bit(r, s);
+    // result symbols of contracting slots a, b: union minus fully-consumed
+    auto result_syms = [&](const Slot& a, const Slot& b) {
+        std::vector<int> uni;
+        uni.reserve(a.syms.size() + b.syms.size());
+        std::set_union(a.syms.begin(), a.syms.end(), b.syms.begin(),
+                       b.syms.end(), std::back_inserter(uni));
+        std::vector<int> kept;
+        kept.reserve(uni.size());
+        for (int s : uni) {
+            int in_a = std::binary_search(a.syms.begin(), a.syms.end(), s);
+            int in_b = std::binary_search(b.syms.begin(), b.syms.end(), s);
+            if (refcount[s] - in_a - in_b > 0) kept.push_back(s);
         }
-        return r;
+        return kept;
     };
 
+    // position bookkeeping for the opt_einsum path format: `order` is the
+    // current shrinking operand list as slot ids
+    std::vector<int> order(n_ops);
+    for (int i = 0; i < n_ops; ++i) order[i] = i;
+
+    std::vector<int> stamp(2 * n_ops, -1);
     int step = 0;
-    while ((int)ops.size() > 1) {
-        int best_i = -1, best_j = -1;
+    int n_live = n_ops;
+    while (n_live > 1) {
+        int best_a = -1, best_b = -1;
         double best_gain = 0.0, best_flops = 0.0;
         bool found = false;
-        const int n = (int)ops.size();
-        for (int i = 0; i < n; ++i) {
-            for (int j = i + 1; j < n; ++j) {
-                bool shares = false;
-                for (int w = 0; w < words; ++w)
-                    if (ops[i].mask[w] & ops[j].mask[w]) { shares = true; break; }
-                if (!shares && n > 2) continue;  // defer outer products
-                auto rmask = result_mask(ops[i], ops[j]);
-                double rsize = mask_size(rmask, sym_sizes, n_syms);
-                double gain = rsize - ops[i].size - ops[j].size;
-                // flops ~ product over union of indices
-                std::vector<uint64_t> u(words);
-                for (int w = 0; w < words; ++w)
-                    u[w] = ops[i].mask[w] | ops[j].mask[w];
-                double flops = mask_size(u, sym_sizes, n_syms);
-                if (!found || gain < best_gain ||
-                    (gain == best_gain && flops < best_flops)) {
-                    found = true;
-                    best_gain = gain;
-                    best_flops = flops;
-                    best_i = i;
-                    best_j = j;
+        // enumerate sharing pairs via occupancy lists (lazy-clean dead)
+        for (int ai = 0; ai < (int)slots.size(); ++ai) {
+            if (!slots[ai].live) continue;
+            for (int s : slots[ai].syms) {
+                auto& occ = sym_slots[s];
+                size_t w = 0;
+                for (size_t r = 0; r < occ.size(); ++r) {
+                    int b = occ[r];
+                    if (!slots[b].live) continue;  // drop dead entries
+                    occ[w++] = b;
+                    if (b <= ai || stamp[b] == ai) continue;
+                    stamp[b] = ai;
+                    auto kept = result_syms(slots[ai], slots[b]);
+                    double rsize = size_of(kept);
+                    double gain =
+                        rsize - slots[ai].size - slots[b].size;
+                    std::vector<int> uni;
+                    std::set_union(slots[ai].syms.begin(),
+                                   slots[ai].syms.end(),
+                                   slots[b].syms.begin(),
+                                   slots[b].syms.end(),
+                                   std::back_inserter(uni));
+                    double flops = size_of(uni);
+                    if (!found || gain < best_gain ||
+                        (gain == best_gain && flops < best_flops)) {
+                        found = true;
+                        best_gain = gain;
+                        best_flops = flops;
+                        best_a = ai;
+                        best_b = b;
+                    }
                 }
+                occ.resize(w);
             }
         }
-        if (!found) {  // only outer products remain (n == 2 handled above)
-            best_i = 0;
-            best_j = 1;
+        if (!found) {  // disconnected components: outer-product first two
+            best_a = best_b = -1;
+            for (int i = 0; i < (int)slots.size() && best_b < 0; ++i) {
+                if (!slots[i].live) continue;
+                if (best_a < 0) best_a = i;
+                else best_b = i;
+            }
         }
 
-        // record, merge, update refcounts
-        path_out[2 * step] = best_i;
-        path_out[2 * step + 1] = best_j;
+        // record positions in the current order list
+        int pos_a = -1, pos_b = -1;
+        for (int p2 = 0; p2 < (int)order.size(); ++p2) {
+            if (order[p2] == best_a) pos_a = p2;
+            else if (order[p2] == best_b) pos_b = p2;
+        }
+        if (pos_a < 0 || pos_b < 0) return 3;
+        path_out[2 * step] = std::min(pos_a, pos_b);
+        path_out[2 * step + 1] = std::max(pos_a, pos_b);
         ++step;
 
-        Operand& a = ops[best_i];
-        Operand& b = ops[best_j];
-        auto rmask = result_mask(a, b);
-        // symbols in a or b lose one user each; symbols in result gain one
-        for (int s = 0; s < n_syms; ++s) {
-            if (get_bit(a.mask, s)) refcount[s] -= 1;
-            if (get_bit(b.mask, s)) refcount[s] -= 1;
-            if (get_bit(rmask, s)) refcount[s] += 1;
+        // merge: build the new slot, update refcounts and occupancy
+        Slot merged;
+        merged.syms = result_syms(slots[best_a], slots[best_b]);
+        merged.size = size_of(merged.syms);
+        merged.live = true;
+        for (int s : slots[best_a].syms) refcount[s] -= 1;
+        for (int s : slots[best_b].syms) refcount[s] -= 1;
+        slots[best_a].live = false;
+        slots[best_b].live = false;
+        int new_id = (int)slots.size();
+        for (int s : merged.syms) {
+            refcount[s] += 1;
+            sym_slots[s].push_back(new_id);
         }
-        Operand merged;
-        merged.mask = std::move(rmask);
-        merged.size = mask_size(merged.mask, sym_sizes, n_syms);
-        // remove j first (j > i), then i; append merged
-        ops.erase(ops.begin() + best_j);
-        ops.erase(ops.begin() + best_i);
-        ops.push_back(std::move(merged));
+        if ((int)stamp.size() <= new_id) stamp.resize(new_id + n_ops, -1);
+        slots.push_back(std::move(merged));
+
+        order.erase(order.begin() + std::max(pos_a, pos_b));
+        order.erase(order.begin() + std::min(pos_a, pos_b));
+        order.push_back(new_id);
+        n_live -= 1;
     }
     return 0;
 }
