@@ -157,3 +157,19 @@ def test_gradient_list_form(model=None):
     np.testing.assert_allclose(
         np.asarray(gl[0]), np.asarray(gd[m.cores[0]]), atol=1e-7
     )
+
+
+def test_engine_with_mesh():
+    from tneq_tpu.parallel import make_mesh
+    from tneq_tpu.model import QCTN
+    from tneq_tpu.graph import wall_graph
+
+    m = QCTN(wall_graph(4, layers=2, dim=2), key=jax.random.PRNGKey(0))
+    states = basis_states(m.graph)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4)), jnp.float32)
+    plain = EngineSiamese()
+    mx, _ = plain.generate_data(x, K=2)
+    p0 = plain.contract_with_compiled_strategy(m, states, mx)
+    meshed = EngineSiamese(mesh=make_mesh({"data": 4, "model": 2}))
+    p1 = meshed.contract_with_compiled_strategy(m, states, mx)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)

@@ -39,13 +39,17 @@ def _resolve(qctn: Union[QCTN, CircuitGraph]) -> Tuple[CircuitGraph, Dict]:
 
 
 class EngineSiamese:
-    def __init__(self, dtype=jnp.complex64, mx_K: int = 100, use_scaling: bool = False):
+    def __init__(self, dtype=jnp.complex64, mx_K: int = 100,
+                 use_scaling: bool = False, mesh=None):
         """``mx_K``: default Hermite order for ``generate_data`` (reference
         ``mx_K=100``); ``use_scaling``: route contractions through the
-        log-scale path for deep networks."""
+        log-scale path for deep networks; ``mesh``: a jax Mesh with a
+        'model' axis routes contractions through the bond-sliced shard_map
+        strategy (the distributed-engine mode)."""
         self.dtype = dtype
         self.mx_K = mx_K
         self.use_scaling = use_scaling
+        self.mesh = mesh
         self._grad_cache: Dict[Any, Any] = {}
         self._fwd_cache: Dict[Any, Any] = {}
 
@@ -92,9 +96,16 @@ class EngineSiamese:
                     return raw, log_scale
 
             else:
-                contract = make_siamese_fn(
-                    graph, circuit_states_list is not None, sb
-                )
+                if self.mesh is not None:
+                    from .ops.compiler import compile_siamese
+
+                    contract, _ = compile_siamese(
+                        graph, mesh=self.mesh, states_batched=sb
+                    )
+                else:
+                    contract = make_siamese_fn(
+                        graph, circuit_states_list is not None, sb
+                    )
 
                 def fwd(params, states, measures):
                     raw = contract(params, states, measures)
