@@ -46,7 +46,7 @@ def _alarm(seconds: int):
     signal.alarm(seconds)
 
 
-def bench_jax(device_budget_s: int = 420) -> tuple:
+def bench_jax(device_budget_s: int = 420, force_cpu: bool = False) -> tuple:
     import jax
     import jax.numpy as jnp
 
@@ -60,14 +60,19 @@ def bench_jax(device_budget_s: int = 420) -> tuple:
     from tneq_tpu.optim import sgdg
     from tneq_tpu.train.losses import fidelity
 
-    device = jax.devices()[0].platform
-    log(f"jax devices: {jax.devices()}")
+    if force_cpu:
+        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(cpu)
+        device = "cpu"
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+        device = jax.devices()[0].platform
+    log(f"jax devices: {jax.devices()} (force_cpu={force_cpu})")
     graph = parse_graph(
         incidence_to_graph(build_brick_wall_incidence(N_QUBITS, N_CELLS, 2))
     )
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-
     core_fn = make_core_only_fn(graph)
     optimizer = sgdg(1.0, momentum=0.9, stiefel=True)
 
@@ -92,7 +97,11 @@ def bench_jax(device_budget_s: int = 420) -> tuple:
 
     _alarm(device_budget_s)
     try:
-        # build everything on device inside the guard
+      with ctx:
+        # build everything on device inside the guard (incl. the PRNG key:
+        # it must live on the same backend as everything downstream)
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
         target_params = init_params(graph, k1, jnp.complex64)
         mask = np.ones(graph.ncores, np.float32)
         mask[TARGET_MASK] = 0.0
@@ -124,6 +133,11 @@ def bench_jax(device_budget_s: int = 420) -> tuple:
         signal.alarm(0)
     except BenchTimeout:
         log("jax benchmark timed out (accelerator tunnel wedged?)")
+        return None, device
+    except Exception as e:
+        # e.g. the axon tunnel's readback stream erroring UNIMPLEMENTED
+        log(f"jax benchmark failed on {device}: {type(e).__name__}: {e}")
+        signal.alarm(0)
         return None, device
     sps = BENCH_STEPS / dt
     log(f"jax[{device}]: {BENCH_STEPS} steps in {dt:.2f}s -> {sps:.1f} steps/s "
@@ -199,6 +213,17 @@ def bench_torch_cpu() -> float:
 
 def main():
     jax_sps, device = bench_jax()
+    if jax_sps is None:
+        # accelerator tunnel wedged: measure the same fit on the CPU backend
+        # (honest framework number, clearly labeled) — CPU computations do
+        # not touch the wedged tunnel
+        log("retrying benchmark on the CPU backend...")
+        try:
+            jax_sps, _ = bench_jax(device_budget_s=300, force_cpu=True)
+            device = "cpu(tpu-tunnel-wedged)"
+        except Exception as e:
+            log(f"cpu fallback failed: {e}")
+            jax_sps = None
     try:
         _alarm(180)
         torch_sps = bench_torch_cpu()
