@@ -113,3 +113,32 @@ class TestSymmetryBreaking:
         pruned, attempts = symmetry_breaking(exp, target, k3, verbose=False)
         assert attempts >= 1
         assert len(pruned) >= 1
+
+
+class TestBatchedSweep:
+    def test_batched_recovers_planted_mask(self):
+        """The vmapped candidate sweep prunes exactly the target-masked cores."""
+        from tneq_tpu.apps.symmetry_breaking import (
+            symmetry_breaking_batched,
+        )
+
+        cfg = SymmetryBreakingConfig(
+            n_qubits=4, n_cells=2, validate_steps=3000, prune_steps=2000,
+        )
+        exp = make_experiment(cfg)
+        key = jax.random.PRNGKey(0)
+        ok = False
+        for _ in range(6):
+            key, k1, k2 = jax.random.split(key, 3)
+            target = target_tensor_init(exp, [0, 4], k1)
+            ok, fid, _, fitted = validate_target_tensor(
+                exp, target, k2, return_params=True
+            )
+            if ok:
+                break
+        assert ok
+        key, sub = jax.random.split(key)
+        pruned, count = symmetry_breaking_batched(
+            exp, target, sub, warm_params=fitted, verbose=False
+        )
+        assert len(pruned) >= 2  # at least the two planted cores' worth

@@ -39,6 +39,7 @@ __all__ = [
     "target_tensor_init",
     "validate_target_tensor",
     "symmetry_breaking",
+    "symmetry_breaking_batched",
     "main",
 ]
 
@@ -229,6 +230,63 @@ def symmetry_breaking(
     return pruned, prune_count
 
 
+def symmetry_breaking_batched(
+    exp: Experiment,
+    target,
+    key: jax.Array,
+    warm_params,
+    verbose: bool = True,
+) -> Tuple[List[int], int]:
+    """Batched pruning: score ALL remaining candidates in one vmapped fit
+    per accepted core, then greedily accept the best success.
+
+    TPU-first variant of the sequential sweep: the per-candidate fits share
+    one program vmapped over the mask batch, so an accept-round costs one
+    device call instead of ~ncores.  (Under vmap the while_loop runs until
+    every lane converges or hits max_steps — the slowest candidate
+    dominates, but lanes run in parallel.)  The accepted-set semantics match
+    the sequential greedy loop up to tie-breaking order.
+    """
+    cfg = exp.cfg
+    fit = exp.prune_fit
+    batched_fit = jax.vmap(fit, in_axes=(None, 0) + ((None, None) if cfg.fidelity_mode == "network" else (None,)))
+    pruned: List[int] = []
+    prune_count = 0
+    current = warm_params
+
+    while len(pruned) < exp.graph.ncores:
+        candidates = [
+            c
+            for c in range(exp.graph.ncores)
+            if c not in pruned and not exp.row_would_empty(pruned + [c])
+        ]
+        if not candidates:
+            break
+        masks = jnp.stack([exp.mask_vector(pruned + [c]) for c in candidates])
+        prune_count += len(candidates)
+        if cfg.fidelity_mode == "network":
+            t_params, t_mask = target
+            res = batched_fit(current, masks, t_params, t_mask)
+        else:
+            res = batched_fit(current, masks, target)
+        infids = np.asarray(res.infidelity)
+        ok = infids < cfg.tol
+        if not ok.any():
+            if verbose:
+                print(f"  no prunable core among {len(candidates)} "
+                      f"(best 1-F={float(infids.min()):.3e})")
+            break
+        best = int(np.argmin(np.where(ok, infids, np.inf)))
+        idx = candidates[best]
+        pruned = pruned + [idx]
+        current = jax.tree.map(lambda a: a[best], res.params)
+        if verbose:
+            print(f"  pruned core {idx} (now {len(pruned)} pruned, "
+                  f"1-F={float(infids[best]):.3e}; "
+                  f"{int(ok.sum())}/{len(candidates)} candidates viable)")
+    return pruned, prune_count
+
+
 def main(argv: Optional[Sequence[str]] = None) -> dict:
     """CLI driver mirroring ``train.py``: generate + validate targets, then
     run repeated symmetry-breaking restarts keeping the best pruned set."""
@@ -244,6 +302,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--target-mask", type=int, nargs="*", default=None)
     p.add_argument("--save", type=str, default=None, help="save best run JSON")
+    p.add_argument("--batched", action="store_true",
+                   help="score all pruning candidates per round in one "
+                        "vmapped fit (TPU-first; implies warm start)")
     p.add_argument("--cold-start", action="store_true",
                    help="fresh random init per pruning candidate "
                         "(reference behavior; default warm-starts from the "
@@ -303,9 +364,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     for restart in range(args.restarts):
         key, sub = jax.random.split(key)
         print(f"=== restart {restart} ===")
-        pruned, count = symmetry_breaking(
-            exp, target, sub, warm_params=None if args.cold_start else fitted
-        )
+        if args.batched:
+            pruned, count = symmetry_breaking_batched(
+                exp, target, sub, warm_params=fitted
+            )
+        else:
+            pruned, count = symmetry_breaking(
+                exp, target, sub,
+                warm_params=None if args.cold_start else fitted,
+            )
         total_attempts += count
         if len(pruned) > len(best_pruned):
             best_pruned = pruned
