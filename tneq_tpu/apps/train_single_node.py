@@ -42,6 +42,8 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", type=str, default=None,
                    help="safetensors path for the trained cores")
+    p.add_argument("--profile", type=str, default=None,
+                   help="directory for a jax.profiler trace of the run")
     args = p.parse_args(argv)
 
     dtype = jnp.complex64 if args.dtype == "complex64" else jnp.float32
@@ -69,7 +71,13 @@ def main(argv: Optional[Sequence[str]] = None):
     states = basis_states(model.graph, dtype=dtype)
 
     t0 = time.time()
-    params, stats = trainer.fit(model.params, data_list, states=states)
+    if args.profile:
+        from ..utils.profiling import trace
+
+        with trace(args.profile):
+            params, stats = trainer.fit(model.params, data_list, states=states)
+    else:
+        params, stats = trainer.fit(model.params, data_list, states=states)
     dt = time.time() - t0
     print(f"trained {stats.steps} steps in {dt:.1f}s "
           f"({stats.steps / max(dt, 1e-9):.1f} steps/s); "
