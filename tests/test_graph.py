@@ -224,3 +224,34 @@ class TestMutableGraph:
         out = g.to_dsl()
         g2 = MutableGraph(out)
         assert g2.lines[0][0][2] == 0
+
+
+class TestRenderDSL:
+    def test_roundtrip_examples(self):
+        from tneq_tpu.graph import render_dsl
+
+        for src in [EXAMPLE, mps_graph(5, dim=3), wall_graph(4, layers=4, dim=2)]:
+            g = parse_graph(src)
+            g2 = parse_graph(render_dsl(g))
+            assert g2.signature == g.signature
+
+    def test_roundtrip_random(self):
+        from tneq_tpu.graph import render_dsl
+
+        rng = np.random.default_rng(7)
+        for _ in range(8):
+            g = parse_graph(random_graph(4, 3, rng=rng))
+            assert parse_graph(render_dsl(g)).signature == g.signature
+
+    def test_sourceless_graph_surgery(self):
+        """split works on a graph object reconstructed without source."""
+        from dataclasses import replace
+
+        from tneq_tpu.graph import render_dsl
+        from tneq_tpu.model import QCTN
+
+        g = parse_graph(mps_graph(4, dim=3))
+        bare = replace(g, source="")
+        q = QCTN(bare)
+        left, right = q.split(2)
+        assert left.ncores + right.ncores == q.ncores

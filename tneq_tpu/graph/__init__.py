@@ -1,4 +1,4 @@
-from .dsl import CircuitGraph, CoreSpec, Edge, parse_graph, get_symbol
+from .dsl import CircuitGraph, CoreSpec, Edge, parse_graph, get_symbol, render_dsl
 from .generators import (
     mps_graph,
     tree_graph,
@@ -18,6 +18,7 @@ __all__ = [
     "Edge",
     "parse_graph",
     "get_symbol",
+    "render_dsl",
     "mps_graph",
     "tree_graph",
     "wall_graph",

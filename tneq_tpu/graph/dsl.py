@@ -215,6 +215,43 @@ def _core_chars(graph: str) -> List[str]:
     return sorted(seen, key=symbol_index)
 
 
+def render_dsl(graph: CircuitGraph) -> str:
+    """Synthesize a canonical DSL string from a CircuitGraph.
+
+    Inverse of :func:`parse_graph` up to dash spacing:
+    ``parse_graph(render_dsl(g)) == g``.  Useful for graphs constructed
+    programmatically (no retained ``source``), e.g. before split/merge.
+    """
+    lines = []
+    for q in range(graph.nqubits):
+        chain = graph.qubit_cores(q)
+        if not chain:
+            raise ValueError(f"qubit {q} has no cores; graph is not renderable")
+        first = graph.cores[graph.name_to_index[chain[0]]]
+        in_rank = next(
+            e.rank for e in first.in_edges if e.qubit == q and e.neighbor == -1
+        )
+        parts = [f"-{in_rank}-"]
+        for i, name in enumerate(chain):
+            core = graph.cores[graph.name_to_index[name]]
+            parts.append(name)
+            if i + 1 < len(chain):
+                nxt = graph.name_to_index[chain[i + 1]]
+                bond = next(
+                    e.rank
+                    for e in core.out_edges
+                    if e.qubit == q and e.neighbor == nxt
+                )
+                parts.append(f"-{bond}-")
+        last = graph.cores[graph.name_to_index[chain[-1]]]
+        out_rank = next(
+            e.rank for e in last.out_edges if e.qubit == q and e.neighbor == -1
+        )
+        parts.append(f"-{out_rank}-")
+        lines.append("".join(parts))
+    return "\n".join(lines)
+
+
 def parse_graph(graph: str) -> CircuitGraph:
     """Parse a DSL string into a :class:`CircuitGraph`.
 

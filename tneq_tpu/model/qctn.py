@@ -294,6 +294,8 @@ class QCTN:
         return q1.merge_with(q2)
 
     def _render(self) -> str:
-        if not self.graph.source:
-            raise ValueError("graph has no DSL source to operate on")
-        return self.graph.source
+        if self.graph.source:
+            return self.graph.source
+        from ..graph.dsl import render_dsl
+
+        return render_dsl(self.graph)
