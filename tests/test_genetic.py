@@ -175,3 +175,81 @@ class TestSearch:
         assert best.fitness_score is not None
         assert len(search.history) == 2
         assert search.history[0]["evaluations"] >= 3
+
+class TestDeviceFarm:
+    def test_farm_distributes_and_matches_serial(self, goal):
+        """Farmed evaluation over multiple devices gives the same final
+        fitness as the serial loop for the same seed (keys are split in
+        submission order either way)."""
+        from tneq_tpu.genetic import DeviceFarm
+
+        graph, params = goal
+        ev = CandidateEvaluator(
+            graph, params, n_iter=10, max_iterations=30,
+            method="adam", learning_rate=5e-2,
+        )
+        template = Individual.create_full_connection(
+            "t", tn_size=3, tn_rank=2
+        ).graph.to_dsl()
+        kwargs = dict(
+            generation_property={
+                "evaluate_repeat": 2,
+                "society_property": {
+                    "society": [dict(n_individuals_span=4,
+                                     graph_string_template=template)],
+                },
+            },
+            evolution_property={"top_k": 2, "n_copy": 1},
+            max_generation=2,
+            tn_size=3,
+            verbose=False,
+            seed=3,
+        )
+        serial = EvolutionSearch(ev, **kwargs)
+        best_serial = serial.run()
+
+        devices = jax.devices()[:4]
+        assert len(devices) >= 2  # conftest forces 8 virtual CPU devices
+        farmed = EvolutionSearch(ev, devices=devices, **kwargs)
+        best_farmed = farmed.run()
+        farmed.farm.shutdown()
+
+        assert best_farmed.fitness_score == pytest.approx(
+            best_serial.fitness_score, rel=1e-4
+        )
+        assert [h["evaluations"] for h in farmed.history] == [
+            h["evaluations"] for h in serial.history
+        ]
+
+    def test_farm_least_loaded_submit(self, goal):
+        from tneq_tpu.genetic import DeviceFarm
+
+        graph, params = goal
+        ev = CandidateEvaluator(
+            graph, params, n_iter=5, max_iterations=5,
+            method="adam", learning_rate=5e-2,
+        )
+        with DeviceFarm(ev, devices=jax.devices()[:2]) as farm:
+            assert farm.n_workers == 2
+            futs = [
+                farm.submit(graph.source, jax.random.PRNGKey(i), repeats=1)
+                for i in range(4)
+            ]
+            results = [f.result(timeout=300) for f in futs]
+        for losses, iters, reason in results:
+            assert np.isfinite(np.asarray(losses)).all()
+
+    def test_farm_abnormal_accounting(self, goal):
+        """A candidate whose evaluation raises becomes a FAKE_RESULT, not a
+        crash (reference INFO_ABNORMAL path)."""
+        from tneq_tpu.genetic import DeviceFarm
+
+        graph, params = goal
+        ev = CandidateEvaluator(
+            graph, params, n_iter=5, max_iterations=5,
+            method="adam", learning_rate=5e-2,
+        )
+        with DeviceFarm(ev, devices=jax.devices()[:2]) as farm:
+            fut = farm.submit("-3-A-3-\n-3-A-3-\n-3-A-3-", jax.random.PRNGKey(0))
+            with pytest.raises(ValueError):
+                fut.result(timeout=60)

@@ -40,6 +40,10 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--timeout", type=float, default=1800.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", type=str, default=None)
+    p.add_argument("--devices", type=int, default=0,
+                   help="farm candidates over this many local devices "
+                        "(0 = serial; the TPU analogue of the reference's "
+                        "one-agent-per-MPI-rank layout)")
     args = p.parse_args(argv)
 
     goal_src = args.goal_graph or Individual.create_full_connection(
@@ -68,10 +72,13 @@ def main(argv: Optional[Sequence[str]] = None):
         evolution_property={"top_k": args.top_k, "n_copy": args.n_copy},
         max_generation=args.generations,
         seed=args.seed,
+        devices=(jax.local_devices()[: args.devices] if args.devices else None),
         tn_size=args.tn_size,
         tn_rank=args.tn_rank,
     )
     best = search.run()
+    if search.farm is not None:
+        search.farm.shutdown()
     print(f"best individual {best.scope}: fitness={best.fitness_score:.5f} "
           f"sparsity={best.sparsity:.3f} "
           f"best_loss={min(best.report_loss):.5f}")

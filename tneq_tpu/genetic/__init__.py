@@ -2,6 +2,7 @@ from .codes import REASONS, SURVIVAL, AgentStatus, IndividualStatus, default_fit
 from .individual import Individual
 from .generation import Generation, Society
 from .evaluator import CandidateEvaluator
+from .farm import DeviceFarm
 from .search import EvolutionSearch
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "Generation",
     "Society",
     "CandidateEvaluator",
+    "DeviceFarm",
     "EvolutionSearch",
 ]

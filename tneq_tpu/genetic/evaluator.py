@@ -58,6 +58,37 @@ class CandidateEvaluator:
         self.dtype = dtype
         self._cache: Dict[str, Callable] = {}
 
+    def clone(self, device=None) -> "CandidateEvaluator":
+        """Fresh evaluator with the same config and an empty compile cache.
+
+        Used by :class:`~tneq_tpu.genetic.farm.DeviceFarm` to give each
+        device worker its own evaluator (the reference forks one
+        ``MPI_Agent`` process per rank, ``mpi_agent.py:40-80``).  With
+        ``device`` set, the goal weights are committed to that device so
+        every chunk launch stays device-local.
+        """
+        goal_params = self.goal_params
+        if device is not None:
+            goal_params = jax.device_put(
+                {k: np.asarray(v) for k, v in goal_params.items()}, device
+            )
+        ev = CandidateEvaluator(
+            self.goal_graph,
+            goal_params,
+            n_iter=self.n_iter,
+            max_iterations=self.max_iterations,
+            tol=self.tol,
+            timeout=self.timeout,
+            method=self.method,
+            learning_rate=self.learning_rate,
+            dtype=self.dtype,
+        )
+        # Share the jit cache: one trace per topology across all workers
+        # (each device still gets its own executable under the same jitted
+        # function; the chunk closure captures no device arrays).
+        ev._cache = self._cache
+        return ev
+
     def _chunk_fn(self, graph: CircuitGraph) -> Callable:
         """Jitted: run ``n_iter`` optimization steps for a batch of
         independent restarts (vmapped), returning updated state + losses."""

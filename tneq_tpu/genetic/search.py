@@ -7,6 +7,13 @@ the abnormal-result accounting, and evolves finished generations.  The MPI
 job farm (persistent irecvs, survival pings, shutdown broadcast) disappears:
 on TPU the "workers" are cached compiled programs on one device/mesh, and
 restarts of one candidate are vmapped (see ``CandidateEvaluator``).
+
+With ``devices=`` set, candidates additionally fan out across local
+accelerator devices through a :class:`~tneq_tpu.genetic.farm.DeviceFarm`
+(the single-controller analogue of the reference's one-agent-per-MPI-rank
+layout): submission order — and therefore PRNG key assignment — stays
+deterministic, only completion order varies, so farmed results equal
+serial results for the same seed.
 """
 
 from __future__ import annotations
@@ -35,9 +42,15 @@ class EvolutionSearch:
         max_abnormal: int = 10,
         seed: int = 0,
         verbose: bool = True,
+        devices: Optional[list] = None,
         **individual_kwds,
     ):
         self.evaluator = evaluator
+        self.farm = None
+        if devices is not None:
+            from .farm import DeviceFarm
+
+            self.farm = DeviceFarm(evaluator, devices)
         self.generation_property = generation_property or {}
         self.evolution_property = evolution_property or {}
         self.max_generation = max_generation
@@ -53,6 +66,73 @@ class EvolutionSearch:
         if self.verbose:
             print(msg, flush=True)
 
+    def _abnormal(self, generation: Generation, indv: Individual, e: Exception):
+        """Reference INFO_ABNORMAL accounting (``mpi_overlord.py``)."""
+        self.status.abnormal_counter += 1
+        self._log(f"abnormal evaluation for {indv.scope}: {e}")
+        generation.collect_result(indv, 1e9, -1, REASONS.FAKE_RESULT)
+        if self.status.abnormal_counter > self.max_abnormal:
+            raise RuntimeError(
+                "too many abnormal evaluations; aborting search"
+            ) from e
+
+    def _drain_serial(self, generation: Generation) -> int:
+        n_evals = 0
+        while not generation.is_finished():
+            indv = generation.next_to_evaluate()
+            if indv is None:
+                break
+            self.key, sub = jax.random.split(self.key)
+            # vmap the remaining repeats of this candidate into one
+            # compiled call (the reference farms each repeat out to a
+            # separate MPI worker)
+            remaining = max(1, generation.evaluate_repeat - indv.status.repeated)
+            try:
+                losses, iters, reason = self.evaluator.evaluate(
+                    indv.graph.to_dsl(), sub, repeats=remaining
+                )
+                for loss in np.asarray(losses):
+                    generation.collect_result(indv, float(loss), iters, reason)
+                n_evals += remaining
+            except Exception as e:  # abnormal job (reference INFO_ABNORMAL)
+                self._abnormal(generation, indv, e)
+        return n_evals
+
+    def _drain_farmed(self, generation: Generation) -> int:
+        """Submit every pending candidate to the device farm, collect as
+        futures resolve.  Keys are split in (deterministic) submission
+        order, so farmed and serial runs see identical randomness."""
+        from concurrent.futures import FIRST_COMPLETED, wait
+
+        n_evals = 0
+        pending = {}
+        while True:
+            while True:
+                indv = generation.next_to_evaluate()
+                if indv is None:
+                    break
+                self.key, sub = jax.random.split(self.key)
+                remaining = max(
+                    1, generation.evaluate_repeat - indv.status.repeated
+                )
+                fut = self.farm.submit(indv.graph.to_dsl(), sub, remaining)
+                pending[fut] = (indv, remaining)
+            if not pending:
+                break
+            done, _ = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                indv, remaining = pending.pop(fut)
+                try:
+                    losses, iters, reason = fut.result()
+                    for loss in np.asarray(losses):
+                        generation.collect_result(
+                            indv, float(loss), iters, reason
+                        )
+                    n_evals += remaining
+                except Exception as e:
+                    self._abnormal(generation, indv, e)
+        return n_evals
+
     def run(self) -> Individual:
         """Run the full search; returns the best individual found."""
         generation = Generation(
@@ -66,35 +146,10 @@ class EvolutionSearch:
 
         for g in range(self.max_generation):
             t0 = time.time()
-            n_evals = 0
-            while not generation.is_finished():
-                indv = generation.next_to_evaluate()
-                if indv is None:
-                    break
-                self.key, sub = jax.random.split(self.key)
-                # vmap the remaining repeats of this candidate into one
-                # compiled call (the reference farms each repeat out to a
-                # separate MPI worker)
-                remaining = max(
-                    1, generation.evaluate_repeat - indv.status.repeated
-                )
-                try:
-                    losses, iters, reason = self.evaluator.evaluate(
-                        indv.graph.to_dsl(), sub, repeats=remaining
-                    )
-                    for loss in np.asarray(losses):
-                        generation.collect_result(indv, float(loss), iters, reason)
-                    n_evals += remaining
-                except Exception as e:  # abnormal job (reference INFO_ABNORMAL)
-                    self.status.abnormal_counter += 1
-                    self._log(f"abnormal evaluation for {indv.scope}: {e}")
-                    generation.collect_result(
-                        indv, 1e9, -1, REASONS.FAKE_RESULT
-                    )
-                    if self.status.abnormal_counter > self.max_abnormal:
-                        raise RuntimeError(
-                            "too many abnormal evaluations; aborting search"
-                        ) from e
+            if self.farm is not None:
+                n_evals = self._drain_farmed(generation)
+            else:
+                n_evals = self._drain_serial(generation)
 
             generation.evaluate()
             best = generation.best()
