@@ -46,7 +46,27 @@ def _alarm(seconds: int):
     signal.alarm(seconds)
 
 
-def bench_jax(device_budget_s: int = 420, force_cpu: bool = False) -> tuple:
+def _warm_channel(jnp, tries: int = 8, sleep_s: int = 20) -> bool:
+    """Absorb the tunnel's reconnect stall with a trivial fetch.
+
+    The axon readback link flaps: the first device->host fetch after idle
+    either blocks ~80s while the tunnel reconnects or fails fast with
+    UNIMPLEMENTED, after which the channel usually works.  Retry a 1-element
+    fetch until it sticks; everything after rides the warmed channel.
+    """
+    for i in range(tries):
+        try:
+            v = float(jnp.ones((1,)).sum())
+            log(f"channel warm after attempt {i + 1} (fetch={v})")
+            return True
+        except Exception as e:
+            log(f"warm attempt {i + 1}/{tries}: {type(e).__name__}: "
+                f"{str(e)[:60]}")
+            time.sleep(sleep_s)
+    return False
+
+
+def bench_jax(device_budget_s: int = 600, force_cpu: bool = False) -> tuple:
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +118,9 @@ def bench_jax(device_budget_s: int = 420, force_cpu: bool = False) -> tuple:
     _alarm(device_budget_s)
     try:
       with ctx:
+        if not force_cpu and device != "cpu" and not _warm_channel(jnp):
+            signal.alarm(0)
+            return None, device
         # build everything on device inside the guard (incl. the PRNG key:
         # it must live on the same backend as everything downstream)
         key = jax.random.PRNGKey(0)
@@ -213,6 +236,10 @@ def bench_torch_cpu() -> float:
 
 def main():
     jax_sps, device = bench_jax()
+    if jax_sps is None and device != "cpu":
+        log("first accelerator attempt failed; retrying once after 20s...")
+        time.sleep(20)
+        jax_sps, device = bench_jax()
     if jax_sps is None:
         # accelerator tunnel wedged: measure the same fit on the CPU backend
         # (honest framework number, clearly labeled) — CPU computations do

@@ -26,14 +26,14 @@ def _probe(name: str, fn, secs: int = 75) -> bool:
     try:
         v = fn()
         print(f"{name}: OK {v!r} ({time.time() - t0:.1f}s)", flush=True)
-        return True
+        return "ok"
     except ProbeTimeout:
         print(f"{name}: HANG after {secs}s — stopping (channel now suspect)",
               flush=True)
-        return False
+        return "hang"
     except Exception as e:
         print(f"{name}: ERROR {type(e).__name__}: {str(e)[:90]}", flush=True)
-        return True  # an error response means the channel still works
+        return "error"  # an error response still means no hang
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
@@ -71,13 +71,29 @@ def main() -> int:
         ("sgdg-iterative-3steps", _sgdg_probe),
         ("jit-sum-again (re-execution)", lambda: float(f_sum(x + 1))),
     ]
+    results = []
     for name, fn in probes:
-        if not _probe(name, fn):
+        r = _probe(name, fn)
+        results.append(r)
+        if r == "hang":
             return 1
-    print("all probes passed", flush=True)
+    n_ok = results.count("ok")
+    n_err = results.count("error")
+    if n_err == 0:
+        print("all probes passed", flush=True)
+    elif n_ok == 0:
+        print(f"channel DOWN: all {n_err} probes errored (no hangs)",
+              flush=True)
+    else:
+        print(f"channel degraded: {n_ok} ok, {n_err} errored (no hangs)",
+              flush=True)
     if "--bench" in sys.argv:
-        return 0 if _probe("headline-bench", _headline_bench, secs=420) else 1
-    return 0
+        if n_ok == 0:
+            print("skipping headline bench: channel down", flush=True)
+            return 1
+        return 0 if _probe("headline-bench", _headline_bench,
+                           secs=420) == "ok" else 1
+    return 0 if n_ok else 1
 
 
 def _headline_bench():
