@@ -253,3 +253,96 @@ class TestDeviceFarm:
             fut = farm.submit("-3-A-3-\n-3-A-3-\n-3-A-3-", jax.random.PRNGKey(0))
             with pytest.raises(ValueError):
                 fut.result(timeout=60)
+
+
+class TestCheckpointResume:
+    def _kwargs(self, template):
+        return dict(
+            generation_property={
+                "evaluate_repeat": 1,
+                "society_property": {
+                    "society": [dict(n_individuals_span=4,
+                                     graph_string_template=template)],
+                },
+            },
+            evolution_property={"top_k": 2, "n_copy": 1},
+            max_generation=2,
+            tn_size=3,
+            verbose=False,
+            seed=11,
+        )
+
+    def test_crash_resume_matches_uninterrupted(self, goal, tmp_path):
+        """A search killed mid-generation resumes from the last generation
+        boundary and reaches the same best fitness as an uninterrupted run
+        with the same seed."""
+        graph, params = goal
+        template = Individual.create_full_connection(
+            "t", tn_size=3, tn_rank=2
+        ).graph.to_dsl()
+        ev_kwargs = dict(n_iter=10, max_iterations=30,
+                         method="adam", learning_rate=5e-2)
+
+        clean = EvolutionSearch(
+            CandidateEvaluator(graph, params, **ev_kwargs),
+            **self._kwargs(template),
+        )
+        best_clean = clean.run()
+
+        class FlakyEvaluator(CandidateEvaluator):
+            calls = 0
+
+            def evaluate(self, g, key, repeats=1):
+                FlakyEvaluator.calls += 1
+                if FlakyEvaluator.calls == 6:  # dies during generation 1
+                    raise RuntimeError("simulated crash")
+                return super().evaluate(g, key, repeats)
+
+        ckpt = str(tmp_path / "search.json")
+        crashing = EvolutionSearch(
+            FlakyEvaluator(graph, params, **ev_kwargs),
+            checkpoint_path=ckpt,
+            max_abnormal=0,
+            **self._kwargs(template),
+        )
+        with pytest.raises(RuntimeError):
+            crashing.run()
+
+        resumed = EvolutionSearch.resume(
+            ckpt,
+            CandidateEvaluator(graph, params, **ev_kwargs),
+            **self._kwargs(template),
+        )
+        best_resumed = resumed.run()
+        assert best_resumed.fitness_score == pytest.approx(
+            best_clean.fitness_score, rel=1e-4
+        )
+        assert len(resumed.history) == len(clean.history)
+
+    def test_final_checkpoint_marks_done(self, goal, tmp_path):
+        import json
+
+        graph, params = goal
+        template = Individual.create_full_connection(
+            "t", tn_size=3, tn_rank=2
+        ).graph.to_dsl()
+        ckpt = str(tmp_path / "done.json")
+        s = EvolutionSearch(
+            CandidateEvaluator(graph, params, n_iter=10, max_iterations=20,
+                               method="adam", learning_rate=5e-2),
+            checkpoint_path=ckpt,
+            **self._kwargs(template),
+        )
+        s.run()
+        state = json.load(open(ckpt))
+        assert state["generation_index"] == 2  # == max_generation: finished
+        assert state["best"] is not None
+        # resuming a finished search returns the saved best immediately
+        r = EvolutionSearch.resume(
+            ckpt,
+            CandidateEvaluator(graph, params, n_iter=10, max_iterations=20,
+                               method="adam", learning_rate=5e-2),
+            **self._kwargs(template),
+        )
+        best = r.run()
+        assert best.fitness_score is not None

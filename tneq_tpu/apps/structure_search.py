@@ -44,6 +44,11 @@ def main(argv: Optional[Sequence[str]] = None):
                    help="farm candidates over this many local devices "
                         "(0 = serial; the TPU analogue of the reference's "
                         "one-agent-per-MPI-rank layout)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="JSON checkpoint path; saved at each generation "
+                        "boundary")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint instead of starting fresh")
     args = p.parse_args(argv)
 
     goal_src = args.goal_graph or Individual.create_full_connection(
@@ -60,8 +65,7 @@ def main(argv: Optional[Sequence[str]] = None):
         learning_rate=args.lr,
         timeout=args.timeout,
     )
-    search = EvolutionSearch(
-        evaluator,
+    search_kwargs = dict(
         generation_property={
             "evaluate_repeat": args.evaluate_repeat,
             "society_property": {
@@ -76,6 +80,15 @@ def main(argv: Optional[Sequence[str]] = None):
         tn_size=args.tn_size,
         tn_rank=args.tn_rank,
     )
+    if args.resume:
+        if not args.checkpoint:
+            p.error("--resume requires --checkpoint")
+        search = EvolutionSearch.resume(args.checkpoint, evaluator,
+                                        **search_kwargs)
+    else:
+        search = EvolutionSearch(
+            evaluator, checkpoint_path=args.checkpoint, **search_kwargs
+        )
     best = search.run()
     if search.farm is not None:
         search.farm.shutdown()

@@ -43,6 +43,20 @@ class Society:
         return self.individuals[self.indv_ranking[0]]
 
 
+def _society_params(gp: Dict[str, Any]) -> List[Dict[str, Any]]:
+    society_property = gp.get("society_property", {})
+    n_societies = gp.get("n_societies", 1)
+    params_list = society_property.get(
+        "society",
+        [dict(n_individuals_span=20, fitness_func=default_fitness)],
+    )
+    if len(params_list) == 1 and n_societies > 1:
+        params_list = params_list * n_societies
+    elif len(params_list) != n_societies:
+        raise ValueError("society params count does not match n_societies")
+    return params_list
+
+
 class Generation:
     """One generation of the search.
 
@@ -75,19 +89,7 @@ class Generation:
         self.indv_to_collect: List[Individual] = []
         self.societies: Dict[str, Society] = {}
 
-        society_property = gp.get("society_property", {})
-        n_societies = gp.get("n_societies", 1)
-        params_list = society_property.get(
-            "society",
-            [dict(n_individuals_span=20, fitness_func=default_fitness)],
-        )
-        if len(params_list) == 1 and n_societies > 1:
-            params_list = params_list * n_societies
-        elif len(params_list) != n_societies:
-            raise ValueError(
-                "society params count does not match n_societies"
-            )
-        self.society_params_list = params_list
+        self.society_params_list = _society_params(gp)
 
         self._init_societies(parent)
 
@@ -226,6 +228,80 @@ class Generation:
                     child.mutate()
                     offspring.append(child)
             soc.individuals = offspring
+
+    # -- checkpointing ----------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """JSON-serializable snapshot of the population (the reference
+        keeps no search state at all; a crashed overlord loses everything)."""
+        return {
+            "name": self.name,
+            "societies": {
+                name: [
+                    {
+                        "scope": i.scope,
+                        "graph": i.graph.to_dsl(),
+                        "parents": list(i.parents),
+                        "losses": i.report_loss,
+                        "iters": i.report_loss_iter,
+                        "reasons": i.report_loss_reason,
+                        "repeated": i.status.repeated,
+                        "finished": i.status.finished,
+                    }
+                    for i in soc.individuals
+                ]
+                for name, soc in self.societies.items()
+            },
+        }
+
+    @classmethod
+    def restore(
+        cls,
+        state: dict,
+        generation_property: Optional[Dict[str, Any]] = None,
+        evolution_property: Optional[Dict[str, Any]] = None,
+        rng: Optional[np.random.Generator] = None,
+        **kwds,
+    ) -> "Generation":
+        """Rebuild a generation from :meth:`state_dict`.  Fitness functions
+        are not serializable; each society takes the function configured at
+        its position in ``generation_property`` (same config as the
+        original run)."""
+        gen = cls.__new__(cls)
+        gen.name = state["name"]
+        gen.kwds = kwds
+        gen.rng = rng or np.random.default_rng()
+        gp = dict(generation_property or {})
+        gen.generation_property = gp
+        gen.evaluate_repeat = gp.get("evaluate_repeat", 2)
+        gen.evolution_property = dict(evolution_property or {})
+        gen.indv_to_distribute = []
+        gen.indv_to_collect = []
+        gen.societies = {}
+        gen.society_params_list = _society_params(gp)
+        for i, (name, members) in enumerate(state["societies"].items()):
+            param = gen.society_params_list[
+                min(i, len(gen.society_params_list) - 1)
+            ]
+            fitness_func = param.get("fitness_func", default_fitness)
+            soc = Society(name=name, fitness_func=fitness_func)
+            for m in members:
+                indv = gen._new_individual(
+                    m["scope"], m["graph"], tuple(m["parents"]), fitness_func
+                )
+                indv.report_loss = [float(x) for x in m["losses"]]
+                indv.report_loss_iter = [int(x) for x in m["iters"]]
+                indv.report_loss_reason = [int(x) for x in m["reasons"]]
+                indv.status.repeated = int(m["repeated"])
+                indv.status.finished = bool(m["finished"])
+                if indv.report_loss:
+                    indv.calculate_fitness()
+                soc.individuals.append(indv)
+            gen.societies[name] = soc
+            gen.indv_to_distribute += [
+                i for i in soc.individuals if not i.status.finished
+            ]
+        return gen
 
     def best(self) -> Optional[Individual]:
         candidates = [

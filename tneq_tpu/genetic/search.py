@@ -43,6 +43,7 @@ class EvolutionSearch:
         seed: int = 0,
         verbose: bool = True,
         devices: Optional[list] = None,
+        checkpoint_path: Optional[str] = None,
         **individual_kwds,
     ):
         self.evaluator = evaluator
@@ -61,10 +62,95 @@ class EvolutionSearch:
         self.key = jax.random.PRNGKey(seed)
         self.status = AgentStatus()
         self.history: List[dict] = []
+        self.checkpoint_path = checkpoint_path
+        self._resume_state: Optional[dict] = None
 
     def _log(self, msg: str) -> None:
         if self.verbose:
             print(msg, flush=True)
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def _save_checkpoint(
+        self,
+        generation: Generation,
+        generation_index: int,
+        best: Optional[Individual],
+    ) -> None:
+        """Atomic JSON snapshot: population + RNG streams + history.
+
+        Saved at the start of every generation (and after the final one),
+        so a killed search resumes at the last generation boundary.  The
+        reference's overlord keeps no state — any crash loses the whole
+        search.
+        """
+        import json
+        import os
+        import tempfile
+
+        state = {
+            "generation_index": generation_index,
+            "generation": generation.state_dict(),
+            "history": self.history,
+            "abnormal": self.status.abnormal_counter,
+            "rng_state": self.rng.bit_generator.state,
+            "key": np.asarray(self.key).tolist(),
+            "best": None
+            if best is None
+            else {
+                "scope": best.scope,
+                "graph": best.graph.to_dsl(),
+                "parents": list(best.parents),
+                "losses": best.report_loss,
+                "iters": best.report_loss_iter,
+                "reasons": best.report_loss_reason,
+            },
+        }
+        d = os.path.dirname(os.path.abspath(self.checkpoint_path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f, default=str)
+        os.replace(tmp, self.checkpoint_path)
+
+    @classmethod
+    def resume(
+        cls, checkpoint_path: str, evaluator: CandidateEvaluator, **kwargs
+    ) -> "EvolutionSearch":
+        """Rebuild a search from a checkpoint written by a previous run.
+
+        ``kwargs`` must carry the same ``generation_property`` /
+        ``evolution_property`` / ``max_generation`` / individual kwargs as
+        the original run (fitness functions are not serializable).
+        """
+        import json
+
+        with open(checkpoint_path) as f:
+            state = json.load(f)
+        search = cls(evaluator, checkpoint_path=checkpoint_path, **kwargs)
+        search.rng.bit_generator.state = state["rng_state"]
+        search.key = jax.numpy.asarray(
+            np.array(state["key"], dtype=np.uint32)
+        )
+        search.history = state["history"]
+        search.status.abnormal_counter = state["abnormal"]
+        search._resume_state = state
+        return search
+
+    def _restore_individual(self, info: dict) -> Individual:
+        indv = Individual(
+            info["scope"],
+            info["graph"],
+            tuple(info["parents"]),
+            rng=self.rng,
+            **self.individual_kwds,
+        )
+        indv.report_loss = [float(x) for x in info["losses"]]
+        indv.report_loss_iter = [int(x) for x in info["iters"]]
+        indv.report_loss_reason = [int(x) for x in info["reasons"]]
+        if indv.report_loss:
+            indv.calculate_fitness()
+        return indv
 
     def _abnormal(self, generation: Generation, indv: Individual, e: Exception):
         """Reference INFO_ABNORMAL accounting (``mpi_overlord.py``)."""
@@ -135,17 +221,35 @@ class EvolutionSearch:
 
     def run(self) -> Individual:
         """Run the full search; returns the best individual found."""
-        generation = Generation(
-            name="G000",
-            generation_property=self.generation_property,
-            evolution_property=self.evolution_property,
-            rng=self.rng,
-            **self.individual_kwds,
-        )
         best_overall: Optional[Individual] = None
+        g0 = 0
+        if self._resume_state is not None:
+            state = self._resume_state
+            g0 = int(state["generation_index"])
+            generation = Generation.restore(
+                state["generation"],
+                generation_property=self.generation_property,
+                evolution_property=self.evolution_property,
+                rng=self.rng,
+                **self.individual_kwds,
+            )
+            if state.get("best"):
+                best_overall = self._restore_individual(state["best"])
+            self._resume_state = None
+            self._log(f"resumed at generation {g0} ({generation.name})")
+        else:
+            generation = Generation(
+                name="G000",
+                generation_property=self.generation_property,
+                evolution_property=self.evolution_property,
+                rng=self.rng,
+                **self.individual_kwds,
+            )
 
-        for g in range(self.max_generation):
+        for g in range(g0, self.max_generation):
             t0 = time.time()
+            if self.checkpoint_path:
+                self._save_checkpoint(generation, g, best_overall)
             if self.farm is not None:
                 n_evals = self._drain_farmed(generation)
             else:
@@ -187,4 +291,6 @@ class EvolutionSearch:
 
         if best_overall is None:
             raise RuntimeError("search produced no evaluated individuals")
+        if self.checkpoint_path:
+            self._save_checkpoint(generation, self.max_generation, best_overall)
         return best_overall
