@@ -83,6 +83,10 @@ def main(argv: Optional[Sequence[str]] = None):
     if args.resume:
         if not args.checkpoint:
             p.error("--resume requires --checkpoint")
+        import os
+
+        if not os.path.exists(args.checkpoint):
+            p.error(f"checkpoint file not found: {args.checkpoint}")
         search = EvolutionSearch.resume(args.checkpoint, evaluator,
                                         **search_kwargs)
     else:
