@@ -346,3 +346,78 @@ class TestCheckpointResume:
         )
         best = r.run()
         assert best.fitness_score is not None
+
+
+class TestCrossoverEvolve:
+    def _gen(self, cx_prob, seed=4):
+        import numpy as np
+        from tneq_tpu.genetic import Generation
+
+        template = Individual.create_full_connection(
+            "t", tn_size=3, tn_rank=2
+        ).graph.to_dsl()
+        gen = Generation(
+            generation_property={
+                "evaluate_repeat": 1,
+                "society_property": {
+                    "society": [dict(n_individuals_span=6,
+                                     graph_string_template=template)],
+                },
+            },
+            evolution_property={"top_k": 4, "n_copy": 2,
+                                "crossover_prob": cx_prob},
+            rng=np.random.default_rng(seed),
+            tn_size=3,
+        )
+        # give everyone a loss so ranking works
+        for soc in gen.societies.values():
+            for k, indv in enumerate(soc.individuals):
+                indv.mutate()
+                indv.set_training_result(0.01 * (k + 1), 10)
+                indv.status.finished = True
+        gen.evaluate()
+        return gen
+
+    def test_crossover_children_have_two_parents(self):
+        gen = self._gen(cx_prob=1.0)
+        gen.evolve()
+        soc = next(iter(gen.societies.values()))
+        assert len(soc.individuals) == 8  # 4 parents x 2 copies
+        two_parent = [c for c in soc.individuals if len(c.parents) == 2]
+        assert two_parent, "crossover_prob=1 must produce crossover children"
+        for c in soc.individuals:
+            parse_graph(c.graph.to_dsl())  # every child is a valid circuit
+
+    def test_zero_prob_is_pure_mutation(self):
+        gen = self._gen(cx_prob=0.0)
+        gen.evolve()
+        soc = next(iter(gen.societies.values()))
+        assert all(len(c.parents) == 1 for c in soc.individuals)
+
+    def test_search_with_crossover_runs(self, goal):
+        graph, params = goal
+        template = Individual.create_full_connection(
+            "t", tn_size=3, tn_rank=2
+        ).graph.to_dsl()
+        ev = CandidateEvaluator(
+            graph, params, n_iter=10, max_iterations=30,
+            method="adam", learning_rate=5e-2,
+        )
+        search = EvolutionSearch(
+            ev,
+            generation_property={
+                "evaluate_repeat": 1,
+                "society_property": {
+                    "society": [dict(n_individuals_span=4,
+                                     graph_string_template=template)],
+                },
+            },
+            evolution_property={"top_k": 2, "n_copy": 2,
+                                "crossover_prob": 0.5},
+            max_generation=3,
+            tn_size=3,
+            verbose=False,
+            seed=2,
+        )
+        best = search.run()
+        assert best.fitness_score is not None

@@ -22,5 +22,15 @@ inside ``jax.jit``; no translation of the reference's torch/MPI patterns.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("TNEQ_PLATFORM"):
+    # Honor an explicit platform request even where site hooks force a
+    # different jax_platforms value after the JAX_PLATFORMS env var was
+    # already consumed (e.g. this container's accelerator tunnel shim).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TNEQ_PLATFORM"])
+
 from .graph import CircuitGraph, Edge, CoreSpec, parse_graph
 from .model import QCTN

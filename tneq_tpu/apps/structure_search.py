@@ -34,6 +34,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--evaluate-repeat", type=int, default=2)
     p.add_argument("--top-k", type=int, default=3)
     p.add_argument("--n-copy", type=int, default=2)
+    p.add_argument("--crossover-prob", type=float, default=0.0,
+                   help="probability an offspring pair comes from "
+                        "single-qubit-line crossover instead of mutation")
     p.add_argument("--train-steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--method", default="adam")
@@ -73,7 +76,8 @@ def main(argv: Optional[Sequence[str]] = None):
                                  graph_string_template=goal_src)],
             },
         },
-        evolution_property={"top_k": args.top_k, "n_copy": args.n_copy},
+        evolution_property={"top_k": args.top_k, "n_copy": args.n_copy,
+                            "crossover_prob": args.crossover_prob},
         max_generation=args.generations,
         seed=args.seed,
         devices=(jax.local_devices()[: args.devices] if args.devices else None),

@@ -204,10 +204,15 @@ class Generation:
             soc.finished = True
 
     def evolve(self) -> None:
-        """Top-k selection × n_copy, then mutate every offspring
-        (reference ``mpi_generation.py:579-647``)."""
+        """Top-k selection × n_copy; offspring are mutated copies, or —
+        with probability ``evolution_property['crossover_prob']`` — pairs
+        produced by single-qubit-line crossover (reference
+        ``mpi_generation.py:579-647``; its crossover is a
+        ``NotImplementedError`` stub, so ``crossover_prob`` defaults to 0
+        for behavioral parity)."""
         top_k = self.evolution_property.get("top_k", 5)
         n_copy = self.evolution_property.get("n_copy", 4)
+        cx_prob = float(self.evolution_property.get("crossover_prob", 0.0))
         for name, soc in self.societies.items():
             ranked = sorted(
                 soc.individuals,
@@ -216,14 +221,36 @@ class Generation:
                 else float("inf"),
             )
             parents = ranked[: min(top_k, len(ranked))]
-            offspring = []
+            target = len(parents) * n_copy
+            offspring: List[Individual] = []
             counter = 0
-            for p in parents:
-                for _ in range(n_copy):
-                    scope = f"{self.name}/{name}/{len(ranked) + counter:03d}"
-                    counter += 1
+
+            def next_scope():
+                nonlocal counter
+                s = f"{self.name}/{name}/{len(ranked) + counter:03d}"
+                counter += 1
+                return s
+
+            while len(offspring) < target:
+                if (
+                    cx_prob > 0.0
+                    and len(parents) >= 2
+                    and self.rng.uniform() < cx_prob
+                ):
+                    i, j = self.rng.choice(
+                        len(parents), size=2, replace=False
+                    )
+                    c1, c2 = parents[int(i)].crossover(parents[int(j)])
+                    for c in (c1, c2):
+                        if len(offspring) >= target:
+                            break
+                        c.scope = next_scope()
+                        offspring.append(c)
+                else:
+                    p = parents[len(offspring) % len(parents)]
                     child = self._new_individual(
-                        scope, p.graph.to_dsl(), (p.scope,), soc.fitness_func
+                        next_scope(), p.graph.to_dsl(), (p.scope,),
+                        soc.fitness_func,
                     )
                     child.mutate()
                     offspring.append(child)

@@ -49,13 +49,77 @@ def _normalize(params):
     return {n: auto_scale(v).data for n, v in params.items()}
 
 
+def _chain_cores(graph: CircuitGraph, params):
+    """Ordered (first, middles-stacked-or-None, last) cores for an MPS
+    chain, or None when the middles aren't shape-uniform."""
+    names = graph.core_names
+    first, last = params[names[0]], params[names[-1]]
+    mids = [params[n] for n in names[1:-1]]
+    if mids and any(m.shape != mids[0].shape for m in mids):
+        return None
+    stacked = jnp.stack(mids) if mids else None
+    return first, stacked, last
+
+
+def _chain_log_overlap(a, b) -> jax.Array:
+    """log |⟨A, B⟩| of two same-structure MPS-chain networks via a
+    transfer-matrix ``lax.scan`` with per-step max-abs rescaling.
+
+    The dense two-network einsum overflows float32 beyond ~24 qubits even
+    on normalized cores (the running contraction grows multiplicatively);
+    here every step renormalizes the carry and accumulates the log-scale.
+    Scales go through ``stop_gradient``, which keeps gradients of the LOG
+    overlap exact (the rescale cancels in mantissa/scale).
+
+    Core axis convention (graph/dsl.py: in-edges then out-edges, ascending
+    qubit): first ``[x0, x1, y0, c]``, middle ``[c, x, y, c']``, last
+    ``[c, x, y, z]`` — x/y/z are circuit boundary legs, c bond legs.
+    """
+    (fa, ma, la), (fb, mb, lb) = a, b
+
+    def rescale(v, logs):
+        s = jax.lax.stop_gradient(jnp.max(jnp.abs(v)) + _TINY)
+        return v / s, logs + jnp.log(s)
+
+    v = jnp.einsum("xiyc,xiye->ce", fa, jnp.conj(fb))
+    v, logs = rescale(v, jnp.zeros((), v.real.dtype))
+
+    if ma is not None:
+
+        def body(carry, ab):
+            v, logs = carry
+            A, B = ab
+            v = jnp.einsum("ce,cxyf,exyg->fg", v, A, jnp.conj(B))
+            v, logs = rescale(v, logs)
+            return (v, logs), None
+
+        (v, logs), _ = jax.lax.scan(body, (v, logs), (ma, mb))
+
+    final = jnp.einsum("ce,cxyz,exyz->", v, la, jnp.conj(lb))
+    return logs + jnp.log(jnp.abs(final) + _TINY)
+
+
 def network_log_fidelity(
     graph: CircuitGraph, params, target_params
 ) -> jax.Array:
-    """log F between two same-graph networks, float32-safe at large n."""
-    overlap_fn = make_two_network_fn(graph, graph, conj_target=True)
+    """log F between two same-graph networks, float32-safe at large n.
+
+    MPS chains contract via the rescaled transfer scan (stable at ANY
+    depth); other topologies use the dense two-network einsum on
+    max-abs-normalized cores (stable to ~24 qubits in float32).
+    """
+    from ..ops.mps_sweep import is_mps_chain
+
     p = _normalize(params)
     t = _normalize(target_params)
+    if graph.ncores >= 2 and is_mps_chain(graph):
+        pc, tc = _chain_cores(graph, p), _chain_cores(graph, t)
+        if pc is not None and tc is not None:
+            log_ov = _chain_log_overlap(pc, tc)
+            log_oo = _chain_log_overlap(pc, pc)
+            log_tt = _chain_log_overlap(tc, tc)
+            return 2.0 * log_ov - log_oo - log_tt
+    overlap_fn = make_two_network_fn(graph, graph, conj_target=True)
     ov = overlap_fn(p, t)
     oo = jnp.real(overlap_fn(p, p))
     tt = jnp.real(overlap_fn(t, t))
