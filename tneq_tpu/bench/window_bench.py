@@ -1,19 +1,19 @@
-"""Opportunistic headline benchmark for a flapping accelerator channel.
+"""Single-attempt opportunistic TPU benchmark (superseded by bench.py).
 
-The axon TPU tunnel in this container alternates between short UP windows
-and long DOWN phases where every device->host fetch fails fast with
-``UNIMPLEMENTED`` — but device computation, host->device transfer, and XLA
-compilation keep working throughout (measured 2026-08-16).  So: build the
-whole benchmark and AOT-compile it while the channel is down, poll a
-1-element fetch, and the moment a window opens fire the timed execution —
-the only part that needs a working readback is the final scalar fetch.
+Measured tunnel protocol (2026-08-16, see CLAUDE.md): the FIRST device op
+of a fresh process either blocks (observed 2s-282s) and then succeeds —
+after which the process is healthy — or fails fast with ``UNIMPLEMENTED``,
+after which the PJRT client is POISONED: every later op in that process
+fails too, so in-process retries are useless.  complex64 ops are entirely
+unsupported by the current plugin; keep TPU workloads float32/bfloat16.
 
-Each retry compiles a fresh program with ``length = steps + attempt`` (a
-different program every time) because re-executing the *same* compiled
-program after a failure has hung this channel before (CLAUDE.md).
+This module makes ONE attempt under that protocol (patient first fetch,
+then build + AOT-compile + a single timed execution with the final scalar
+fetch as the completion barrier) and exits 0/1.  Loop it from a shell or
+parent process for retries — ``bench.py`` at the repo root does exactly
+that and is the canonical benchmark entry point.
 
-Run: ``python -m tneq_tpu.bench.window_bench [--minutes 45] [--steps 400]``.
-Prints the same JSON line as ``bench.py`` on success.
+Run: ``python -m tneq_tpu.bench.window_bench [--steps 400]``.
 """
 
 from __future__ import annotations
@@ -41,8 +41,13 @@ def _alarm(secs: int):
     signal.alarm(secs)
 
 
-def build(steps: int):
-    """Device setup + AOT compile (works while the channel is down)."""
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--fetch-budget", type=int, default=330,
+                    help="seconds to wait on the first (handshake) fetch")
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,20 +59,38 @@ def build(steps: int):
     from ..train.fit import identity_cores
     from ..train.losses import fidelity
 
+    device = jax.devices()[0].platform
+    log(f"devices: {jax.devices()}")
+
+    try:
+        _alarm(args.fetch_budget)
+        t0 = time.time()
+        v = float(jnp.ones((4,)).sum())
+        signal.alarm(0)
+        log(f"first fetch: {v} ({time.time() - t0:.1f}s) — channel healthy")
+    except (_Timeout, Exception) as e:
+        signal.alarm(0)
+        log(f"first fetch failed ({type(e).__name__}); process is poisoned "
+            "— exiting (retry = new process)")
+        return 1
+
+    # float32 variant of the 8q5c symmetry-breaking inner loop (complex64
+    # is unsupported by the current tunnel plugin)
+    steps = args.steps
     graph = parse_graph(incidence_to_graph(build_brick_wall_incidence(8, 5, 2)))
     core_fn = make_core_only_fn(graph)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    t_params = init_params(graph, k1, jnp.complex64)
+    t_params = init_params(graph, k1, jnp.float32)
     mask = np.ones(graph.ncores, np.float32)
     mask[: graph.ncores // 2] = 0.0
-    idents = identity_cores(graph, jnp.complex64)
+    idents = identity_cores(graph, jnp.float32)
     eff = {
-        n: jnp.asarray(mask[i], jnp.complex64) * t_params[n]
-        + jnp.asarray(1 - mask[i], jnp.complex64) * idents[n]
+        n: jnp.asarray(mask[i], jnp.float32) * t_params[n]
+        + jnp.asarray(1 - mask[i], jnp.float32) * idents[n]
         for i, n in enumerate(graph.core_names)
     }
     target = core_fn(eff)
-    params = init_params(graph, k2, jnp.complex64)
+    params = init_params(graph, k2, jnp.float32)
     opt = sgdg(1.0, momentum=0.9, stiefel=True)
 
     def run(params, target):
@@ -84,78 +107,29 @@ def build(steps: int):
             body, (params, opt.init(params)), None, length=steps
         )[1][-1]
 
-    t0 = time.time()
-    compiled = jax.jit(run).lower(params, target).compile()
-    log(f"AOT compile ({steps} steps): {time.time() - t0:.1f}s")
-    return compiled, params, target
+    try:
+        _alarm(420)
+        t0 = time.time()
+        compiled = jax.jit(run).lower(params, target).compile()
+        log(f"AOT compile: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        infid = float(compiled(params, target))
+        dt = time.time() - t0
+        signal.alarm(0)
+    except (_Timeout, Exception) as e:
+        signal.alarm(0)
+        log(f"measurement failed ({type(e).__name__}: {str(e)[:60]})")
+        return 1
 
-
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--minutes", type=float, default=45.0)
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--poll", type=float, default=8.0)
-    args = ap.parse_args(argv)
-
-    import jax
-    import jax.numpy as jnp
-
-    device = jax.devices()[0].platform
-    log(f"devices: {jax.devices()}")
-    deadline = time.time() + args.minutes * 60
-    attempt = 0
-    compiled = None
-    steps = args.steps
-
-    while time.time() < deadline:
-        if compiled is None:
-            try:
-                _alarm(420)
-                compiled, params, target = build(steps)
-                signal.alarm(0)
-            except (_Timeout, Exception) as e:
-                signal.alarm(0)
-                log(f"build failed ({type(e).__name__}: {str(e)[:60]}); "
-                    "retrying in 30s")
-                time.sleep(30)
-                continue
-        try:
-            _alarm(90)
-            float(jnp.ones((1,)).sum())
-            signal.alarm(0)
-        except (_Timeout, Exception):
-            signal.alarm(0)
-            time.sleep(args.poll)
-            continue
-        attempt += 1
-        log(f"window UP — firing timed run (attempt {attempt})")
-        try:
-            _alarm(180)
-            t0 = time.time()
-            infid = float(compiled(params, target))
-            dt = time.time() - t0
-            signal.alarm(0)
-        except (_Timeout, Exception) as e:
-            signal.alarm(0)
-            log(f"timed run failed ({type(e).__name__}: {str(e)[:60]}); "
-                "recompiling a fresh program")
-            steps += 1  # new program: never re-execute after a failure
-            compiled = None
-            time.sleep(args.poll)
-            continue
-        sps = steps / dt
-        log(f"TPU: {steps} steps in {dt:.3f}s (1-F={infid:.4f})")
-        print(json.dumps({
-            "metric": "stiefel_fidelity_train_steps_per_sec_8q5c",
-            "value": round(sps, 2),
-            "unit": "steps/s",
-            "vs_baseline": None,
-            "device": device,
-            "note": "window_bench opportunistic measurement",
-        }), flush=True)
-        return 0
-    log("no usable window before deadline")
-    return 1
+    log(f"TPU: {steps} steps in {dt:.3f}s (1-F={infid:.4f})")
+    print(json.dumps({
+        "metric": "stiefel_fidelity_train_steps_per_sec_8q5c_f32",
+        "value": round(steps / dt, 2),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "device": device,
+    }), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
