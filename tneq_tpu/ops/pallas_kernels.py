@@ -39,8 +39,14 @@ def fused_transfer_step(
     mx: jax.Array,  # [B, K, K]
     block_z: int = 512,
     interpret: Optional[bool] = None,
+    precision: Optional[jax.lax.Precision] = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
-    """One MPS transfer step -> new env ``[B, Dc, Dc]`` (real dtypes)."""
+    """One MPS transfer step -> new env ``[B, Dc, Dc]`` (real dtypes).
+
+    ``precision``: MXU pass count for the in-kernel matmul.  Default
+    HIGHEST (f32-accurate, 3e-7 vs the exact einsum and measured FASTER
+    than bf16 passes at these tile sizes on v5e); pass ``None`` for the
+    hardware default (bf16 passes, ~3e-3 relative) on very large tiles."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -71,7 +77,8 @@ def fused_transfer_step(
         kl = mx_blk.shape[0]
         e = (env_blk[:, None, :] * mx_blk[None, :, :]).reshape(ab * kl, -1)
         out_ref[:] = jnp.dot(
-            w_ref[:], e, preferred_element_type=jnp.float32
+            w_ref[:], e, preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
     out_t = pl.pallas_call(
@@ -105,6 +112,7 @@ def fused_transfer_step_complex(
     mx: jax.Array,  # [B, K, K] complex64
     block_z: int = 512,
     interpret: Optional[bool] = None,
+    precision: Optional[jax.lax.Precision] = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Complex transfer step as ONE real MXU matmul per batch block.
 
@@ -154,7 +162,8 @@ def fused_transfer_step_complex(
               ).reshape(ab * kl, -1)
         e2 = jnp.concatenate([Er, Ei], axis=0)  # [2ABKL, BZ]
         out_ref[:] = jnp.dot(
-            w_ref[:], e2, preferred_element_type=jnp.float32
+            w_ref[:], e2, preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
     abkl = Da * Db * K * K

@@ -51,11 +51,17 @@ def _normalize(params):
 
 def _chain_cores(graph: CircuitGraph, params):
     """Ordered (first, middles-stacked-or-None, last) cores for an MPS
-    chain, or None when the middles aren't shape-uniform."""
+    chain, or None when it cannot scan: middles must be shape-uniform AND
+    every bond dim along the chain equal (the scan carry is [bond², ...])."""
     names = graph.core_names
     first, last = params[names[0]], params[names[-1]]
     mids = [params[n] for n in names[1:-1]]
     if mids and any(m.shape != mids[0].shape for m in mids):
+        return None
+    bonds = {first.shape[-1], last.shape[0]}
+    if mids:
+        bonds |= {mids[0].shape[0], mids[0].shape[-1]}
+    if len(bonds) != 1:
         return None
     stacked = jnp.stack(mids) if mids else None
     return first, stacked, last
@@ -146,8 +152,36 @@ def make_masked_network_fidelity_fit(
     Both the candidate and the target are masked full-graph networks
     (identity-gate substitution); the loss is −log F; the whole fit runs in
     one jitted ``lax.while_loop`` with early exit at ``1 − F < tol``.
+
+    For MPS-chain graphs the overlaps contract via the rescaled
+    transfer-matrix scan (float32-safe at any depth); other topologies use
+    the dense two-network einsum (stable to ~24 qubits in float32).
     """
-    overlap_fn = make_two_network_fn(graph, graph, conj_target=True)
+    from ..ops.mps_sweep import is_mps_chain
+
+    mid_shapes = {c.shape for c in graph.cores[1:-1]}
+    bonds = {graph.cores[0].shape[-1], graph.cores[-1].shape[0]}
+    for s in mid_shapes:
+        bonds |= {s[0], s[-1]}
+    use_chain = (
+        graph.ncores >= 2
+        and is_mps_chain(graph)
+        and len(mid_shapes) <= 1
+        and len(bonds) == 1
+    )
+    if not use_chain:
+        dense_overlap = make_two_network_fn(graph, graph, conj_target=True)
+
+    def log_abs_overlap(a, b):
+        """log |⟨A, B⟩| on already-normalized core dicts."""
+        if use_chain:
+            return _chain_log_overlap(_chain_cores(graph, a),
+                                      _chain_cores(graph, b))
+        ov = dense_overlap(a, b)
+        return 0.5 * jnp.log(
+            jnp.real(ov) ** 2 + jnp.imag(ov) ** 2 + _TINY
+        )
+
     idents = identity_cores(graph, dtype)
     names = graph.core_names
     # exit when log F > log(1 - tol)
@@ -162,10 +196,8 @@ def make_masked_network_fidelity_fit(
 
     def neg_log_f(params, mask, target_eff_n, log_tt):
         eff = _normalize(effective(params, mask))
-        ov = overlap_fn(eff, target_eff_n)
-        oo = jnp.real(overlap_fn(eff, eff))
-        log_num = jnp.log(jnp.real(ov) ** 2 + jnp.imag(ov) ** 2 + _TINY)
-        return -(log_num - jnp.log(oo + _TINY) - log_tt)
+        return -(2.0 * log_abs_overlap(eff, target_eff_n)
+                 - log_abs_overlap(eff, eff) - log_tt)
 
     grad_fn = jax.value_and_grad(neg_log_f)
 
@@ -177,9 +209,7 @@ def make_masked_network_fidelity_fit(
 
     def _fit_body(params, mask, target_params, target_mask) -> FitResult:
         target_eff_n = _normalize(effective(target_params, target_mask))
-        log_tt = jnp.log(
-            jnp.real(overlap_fn(target_eff_n, target_eff_n)) + _TINY
-        )
+        log_tt = log_abs_overlap(target_eff_n, target_eff_n)
         opt_state = optimizer.init(params)
 
         def cond(carry):
