@@ -97,3 +97,24 @@ class TestMergeSplitDemo:
         out = capsys.readouterr().out
         assert rc == 0
         assert "carried" in out
+
+
+class TestTpuChannel:
+    def test_patient_first_fetch_on_cpu(self):
+        from tneq_tpu.utils import patient_first_fetch, tpu_ready
+
+        dt = patient_first_fetch(budget_s=60)
+        assert dt < 60
+        assert tpu_ready(budget_s=60)
+
+    def test_alarm_state_restored(self):
+        import signal
+        from tneq_tpu.utils import patient_first_fetch
+
+        marker = []
+        old = signal.signal(signal.SIGALRM, lambda *a: marker.append(1))
+        try:
+            patient_first_fetch(budget_s=60)
+            assert signal.getsignal(signal.SIGALRM) is not old  # our lambda
+        finally:
+            signal.signal(signal.SIGALRM, old)

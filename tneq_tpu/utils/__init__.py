@@ -10,6 +10,7 @@ from .logging import setup_logger, setup_colored_logger, Colors
 from .checkpoint import CheckpointManager
 from .callbacks import CallbackList, ExperimentRecorder
 from .profiling import StepTimer, trace, annotate
+from .tpu_channel import ChannelPoisoned, patient_first_fetch, tpu_ready
 
 __all__ = [
     "Configuration",
