@@ -313,6 +313,11 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                    default="dense",
                    help="'network' computes fidelity from network overlaps "
                         "(no dense target; required beyond ~14 qubits)")
+    p.add_argument("--dtype", choices=["complex64", "float32"],
+                   default="complex64",
+                   help="core dtype; float32 runs the real-orthogonal "
+                        "variant (e.g. on accelerators without complex "
+                        "support)")
     args = p.parse_args(argv)
 
     cfg = SymmetryBreakingConfig(
@@ -323,6 +328,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         validate_steps=args.validate_steps,
         prune_steps=args.prune_steps,
         seed=args.seed,
+        dtype=getattr(jnp, args.dtype),
     )
     exp = make_experiment(cfg)
     key = jax.random.PRNGKey(cfg.seed)
