@@ -118,3 +118,17 @@ class TestTpuChannel:
             assert signal.getsignal(signal.SIGALRM) is not old  # our lambda
         finally:
             signal.signal(signal.SIGALRM, old)
+
+    def test_channel_poisoned_on_failure(self, monkeypatch):
+        import jax.numpy as jnp
+        import pytest as _pytest
+        from tneq_tpu.utils import ChannelPoisoned
+        from tneq_tpu.utils import tpu_channel
+
+        def boom(*a, **k):
+            raise RuntimeError("UNIMPLEMENTED: TPU backend error")
+
+        monkeypatch.setattr(jnp, "ones", boom)
+        with _pytest.raises(ChannelPoisoned):
+            tpu_channel.patient_first_fetch(budget_s=30)
+        assert not tpu_channel.tpu_ready(budget_s=30)
