@@ -55,3 +55,24 @@ def test_run_all_cli(tmp_path, capsys):
     assert rc == 0
     summary = json.loads((tmp_path / "summary.json").read_text())
     assert summary and summary[0]["ok"]
+
+
+def test_window_bench_cli_cpu(tmp_path):
+    """window_bench end-to-end as a subprocess, forced onto the CPU
+    backend via the TNEQ_PLATFORM override (never touches the TPU from
+    tests)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, TNEQ_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "tneq_tpu.bench.window_bench", "--steps", "50"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["unit"] == "steps/s" and d["value"] > 0
+    assert d["device"] == "cpu"
