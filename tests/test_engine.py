@@ -173,3 +173,33 @@ def test_engine_with_mesh():
     meshed = EngineSiamese(mesh=make_mesh({"data": 4, "model": 2}))
     p1 = meshed.contract_with_compiled_strategy(m, states, mx)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
+
+
+class TestEngineCacheBounds:
+    def test_compiled_program_caches_are_lru_bounded(self):
+        import jax.numpy as jnp
+
+        from tneq_tpu.engine import EngineSiamese
+        from tneq_tpu.graph import mps_graph, parse_graph
+        from tneq_tpu.model.qctn import init_params
+        import jax
+
+        eng = EngineSiamese(dtype=jnp.float32, cache_size=3)
+        g = parse_graph(mps_graph(2, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        from tneq_tpu.train.trainer import basis_states
+
+        states = basis_states(g, dtype=jnp.float32)
+        # 5 distinct batch shapes -> 5 distinct cache keys, bounded at 3
+        for b in (1, 2, 3, 4, 5):
+            mx = jnp.ones((b, 2, 2), jnp.float32)
+            eng.contract_with_compiled_strategy(
+                None if False else _qctn(g, params), states, [mx, mx]
+            )
+        assert len(eng._fwd_cache) == 3
+
+
+def _qctn(graph, params):
+    from tneq_tpu.model.qctn import QCTN
+
+    return QCTN(graph, params)

@@ -255,3 +255,40 @@ class TestRenderDSL:
         q = QCTN(bare)
         left, right = q.split(2)
         assert left.ncores + right.ncores == q.ncores
+
+
+class TestMutableBoundaryRanks:
+    """to_dsl preserves boundary ranks exactly (reference tn_graph.py:176-286
+    keeps the line's actual boundary ranks; no invented defaults)."""
+
+    def test_non_rank2_boundary_roundtrip(self):
+        from tneq_tpu.graph.mutable import MutableGraph
+
+        src = "-3-A-2-B-5-\n-4-A-2-B-3-"
+        g = MutableGraph(src)
+        assert g.to_dsl() == src
+        g.modify_bond(0, "A", 7)
+        out = g.to_dsl()
+        assert out.startswith("-3-A-7-B-5-")
+        parsed = parse_graph(out)
+        assert parsed.input_ranks == (3, 4)
+        assert parsed.output_ranks == (5, 3)
+
+    def test_edge_removal_keeps_boundary(self):
+        from tneq_tpu.graph.mutable import MutableGraph
+
+        g = MutableGraph("-3-A-2-B-5-\n-3-A-2-B-5-")
+        g.remove_tensor_from_qubit(0, "A")
+        g.remove_tensor_from_qubit(1, "A")
+        # B inherits A's input-boundary rank (3), not an invented default
+        assert g.to_dsl() == "-3-B-5-\n-3-B-5-"
+
+    def test_zero_boundary_raises(self):
+        from tneq_tpu.graph.mutable import MutableGraph
+
+        g = MutableGraph(n_qubits=1)
+        g.lines[0] = [("A", 0, 2)]
+        import pytest
+
+        with pytest.raises(ValueError, match="boundary"):
+            g.to_dsl()

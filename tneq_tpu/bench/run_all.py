@@ -74,9 +74,21 @@ def main(argv=None):
         print(f"=== {name} ===", flush=True)
         rec = _run_stage(name, fn, args.timeout)
         (out_dir / f"{name}.json").write_text(json.dumps(rec, indent=2))
-        status = "ok" if rec.get("ok") else f"FAILED: {rec.get('error')}"
+        if rec.get("skipped"):
+            # say loudly when a stage could not actually measure anything
+            # (e.g. collectives on a 1-chip bench host) — perf claims for
+            # the skipped path rest on the virtual-mesh tests, not this run
+            status = f"SKIPPED (not measured here): {rec['skipped']}"
+        elif rec.get("ok"):
+            status = "ok"
+        else:
+            status = f"FAILED: {rec.get('error')}"
         print(f"  {status} ({rec.get('wall_time_s', '-')}s)", flush=True)
-        summary.append({"stage": name, "ok": rec.get("ok", False)})
+        summary.append({
+            "stage": name,
+            "ok": rec.get("ok", False),
+            **({"skipped": rec["skipped"]} if rec.get("skipped") else {}),
+        })
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
     n_ok = sum(s["ok"] for s in summary)
     print(f"{n_ok}/{len(summary)} stages ok; results in {out_dir}/")

@@ -101,18 +101,26 @@ class MutableGraph:
         return g
 
     def to_dsl(self) -> str:
-        """Render to the DSL; 0-bonds render as plain dashes (no connection)."""
+        """Render to the DSL; internal 0-bonds render as plain dashes (no
+        connection).  Boundary ranks are preserved exactly as stored — the
+        reference's ``TNGraph.to_string`` does the same
+        (``tn_graph.py:176-286``); a 0 boundary rank is unrenderable and
+        raises rather than silently inventing a rank."""
         out = []
-        for line in self.lines:
+        for q, line in enumerate(self.lines):
             if not line:
                 raise ValueError("cannot render a qubit line with no tensors")
-            parts = [f"-{line[0][1]}-" if line[0][1] > 0 else "-2-"]
+            if line[0][1] <= 0 or line[-1][2] <= 0:
+                raise ValueError(
+                    f"qubit {q} has an unset (0) boundary rank; boundary "
+                    f"ranks must stay positive through mutations"
+                )
+            parts = [f"-{line[0][1]}-"]
             for i, (name, _lb, rb) in enumerate(line):
                 parts.append(name)
                 if i + 1 < len(line):
                     parts.append(f"-{rb}-" if rb > 0 else "-----")
-            last_rb = line[-1][2]
-            parts.append(f"-{last_rb}-" if last_rb > 0 else "-2-")
+            parts.append(f"-{line[-1][2]}-")
             out.append("".join(parts))
         src = "\n".join(out)
         parse_graph(src)  # validate round-trip
