@@ -266,6 +266,69 @@ def siamese_bond_symbols(
     )
 
 
+@lru_cache(maxsize=256)
+def siamese_env_spec(
+    graph: CircuitGraph,
+    open_qubit: int,
+    with_states: bool = True,
+    states_batched: bool = False,
+) -> EinsumSpec:
+    """Siamese network with ONE qubit's measurement slot left open.
+
+    Identical to :func:`siamese_spec` (measure_extra_dims=1) except the
+    measurement operand for ``open_qubit`` is omitted and its ket/bra output
+    legs appear in the result: output = ``batch + s_out[q] + t_out[q]``.
+
+    Contracting this once gives the per-sample environment ``E[b, k, l]``;
+    the density at ANY measurement operator M on that qubit is then the tiny
+    inner product ``E[b,k,l]·M[k,l]`` — this is what makes grid-based
+    inverse-CDF sampling scale (the reference instead re-contracts the whole
+    network for every grid point as an S·G batch,
+    ``engine_siamese.py:799-847``).
+    """
+    if not 0 <= open_qubit < graph.nqubits:
+        raise ValueError(f"open_qubit {open_qubit} out of range")
+    sym = _Symbols()
+    batch = sym.next()
+    state_batch = batch if states_batched else ""
+
+    s_in, s_out, _ = _boundary_symbols(graph, sym, "qubit")
+    t_in = {q: sym.next() for q in range(graph.nqubits)}
+    t_out = {q: sym.next() for q in range(graph.nqubits)}
+    bonds = _bond_symbols(graph, sym)
+    mirror_bonds = {k: sym.next() for k in bonds}
+
+    subs: List[str] = []
+    ops: List[Tuple[str, object]] = []
+
+    if with_states:
+        for q in range(graph.nqubits):
+            subs.append(state_batch + s_in[q])
+            ops.append(("state", q))
+
+    for i in range(graph.ncores):
+        subs.append(_core_subscript(graph, i, bonds, s_in, s_out))
+        ops.append(("core", graph.cores[i].name))
+
+    for q in range(graph.nqubits):
+        if q == open_qubit:
+            continue
+        subs.append(batch + s_out[q] + t_out[q])
+        ops.append(("measure", q))
+
+    for i in reversed(range(graph.ncores)):
+        subs.append(_core_subscript(graph, i, mirror_bonds, t_in, t_out))
+        ops.append(("core_conj", graph.cores[i].name))
+
+    if with_states:
+        for q in range(graph.nqubits):
+            subs.append(state_batch + t_in[q])
+            ops.append(("state_conj", q))
+
+    out = batch + s_out[open_qubit] + t_out[open_qubit]
+    return EinsumSpec(",".join(subs) + "->" + out, tuple(ops))
+
+
 def siamese_spec_sliced(
     graph: CircuitGraph,
     sliced_bonds: Tuple[Tuple[int, int, int], ...],

@@ -1,0 +1,239 @@
+"""Pairwise einsum execution with per-step rescaling: float32-safe
+log-space contraction for ANY topology.
+
+The dense einsum of a two-network overlap overflows/underflows float32
+beyond ~24 qubits even on max-abs-normalized cores (the running product
+grows multiplicatively with network depth).  The MPS chain case was solved
+in round 1 by a rescaled transfer-matrix ``lax.scan``
+(``train/network_fit.py``); this module generalizes the idea to arbitrary
+graphs — the reference's flagship brick wall above all
+(``symmetry_breaking_quantum.py:107-146``) — by executing an einsum as its
+explicit pairwise contraction path and renormalizing the intermediate after
+EVERY pairwise step:
+
+    t_k   <- contract(t_i, t_j)
+    s_k    = stop_gradient(max|t_k| + tiny)
+    t_k   <- t_k / s_k ;  log_scale += log(s_k)
+
+Scales go through ``stop_gradient``: gradients of the LOG of the result are
+exact (the rescale cancels between mantissa and scale — same argument as the
+chain scan, and as the reference's detached log-scale trick,
+``engine_siamese.py:524-530``).
+
+Path selection is memory-guarded: the flops-optimal path (native C++
+pathfinder / opt_einsum greedy) is simulated for intermediate sizes and
+rejected in favor of a row-major sweep order (the boundary-MPS schedule for
+layered circuits) if it would materialize an intermediate beyond
+``max_intermediate``.  All shapes are static — the unrolled pairwise
+contractions jit/fuse on TPU like any other XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pairwise_steps",
+    "choose_path",
+    "execute_pairwise",
+    "log_abs_einsum",
+    "make_log_abs_overlap_fn",
+]
+
+_TINY = 1e-30
+
+Step = Tuple[int, int, str]  # (i, j, "sub_i,sub_j->sub_out")
+
+
+def _linear_path(n: int) -> List[Tuple[int, int]]:
+    """((o0·o1)·o2)·...: sequential left-fold over the operand order."""
+    return [(0, 1)] * (n - 1)
+
+
+def pairwise_steps(
+    equation: str, path: Sequence[Tuple[int, int]]
+) -> List[Step]:
+    """Resolve an opt_einsum-style path into explicit two-operand einsums.
+
+    Each step names current-list positions ``(i, j)``; both are removed and
+    the step result appended (opt_einsum execution convention).  The step's
+    output keeps every symbol still needed by remaining operands or by the
+    final output, in first-appearance order.
+    """
+    lhs, rhs = equation.split("->")
+    cur = lhs.split(",")
+    steps: List[Step] = []
+    for step_i, (i, j) in enumerate(path):
+        if i == j:
+            raise ValueError("path step contracts an operand with itself")
+        a, b = cur[i], cur[j]
+        hi, lo = max(i, j), min(i, j)
+        cur.pop(hi)
+        cur.pop(lo)
+        if step_i == len(path) - 1 and not cur:
+            # last step: emit the requested output order exactly
+            if not set(rhs) <= set(a + b):
+                raise ValueError(
+                    f"output {rhs!r} references symbols missing from the "
+                    f"final operands {a!r},{b!r}"
+                )
+            out = rhs
+        else:
+            keep = set(rhs) | set("".join(cur))
+            out = "".join(dict.fromkeys(ch for ch in a + b if ch in keep))
+        steps.append((i, j, f"{a},{b}->{out}"))
+        cur.append(out)
+    if len(cur) != 1:
+        raise ValueError(f"path does not contract to one operand: {cur}")
+    if set(cur[0]) != set(rhs):
+        raise ValueError(f"path output {cur[0]!r} != equation output {rhs!r}")
+    return steps
+
+
+def _max_intermediate_size(
+    equation: str, shapes: Sequence[Tuple[int, ...]], path
+) -> int:
+    """Largest intermediate (in elements) the path would materialize."""
+    lhs, _ = equation.split("->")
+    dims = {}
+    for sub, shape in zip(lhs.split(","), shapes):
+        dims.update(zip(sub, shape))
+    biggest = 0
+    for _, _, eq in pairwise_steps(equation, path):
+        out = eq.split("->")[1]
+        size = int(np.prod([dims[ch] for ch in out], dtype=np.float64)) if out else 1
+        biggest = max(biggest, size)
+    return biggest
+
+
+@lru_cache(maxsize=512)
+def choose_path(
+    equation: str,
+    shapes: Tuple[Tuple[int, ...], ...],
+    max_intermediate: int = 1 << 26,
+) -> Tuple[Tuple[int, int], ...]:
+    """Flops-optimal path unless it blows memory; else the linear sweep.
+
+    The linear fallback contracts operands in their given order — callers
+    arrange row-major (qubit-sweep) order so layered circuits contract as a
+    boundary-MPS with small environments.
+    """
+    n = len(shapes)
+    if n <= 2:
+        return tuple(_linear_path(n))
+    from ..native.path import find_path
+
+    best = None
+    try:
+        best = find_path(equation, shapes)
+    except Exception:
+        best = None
+    if best is not None:
+        if _max_intermediate_size(equation, shapes, best) <= max_intermediate:
+            return tuple(best)
+    linear = _linear_path(n)
+    return tuple(linear)
+
+
+def execute_pairwise(
+    steps: Sequence[Step],
+    operands: Sequence[jax.Array],
+    contract_pair: Optional[Callable] = None,
+    rescale: bool = False,
+):
+    """Run the resolved steps; returns ``final`` or ``(final, log_scale)``.
+
+    ``contract_pair(eq, a, b)`` defaults to ``jnp.einsum``; the
+    complex-as-real lowering substitutes a stacked-real multiply here.
+    With ``rescale=True`` every intermediate is max-abs normalized and the
+    accumulated log-scale returned alongside (stop-gradient scales: LOG
+    gradients stay exact).
+    """
+    if contract_pair is None:
+        contract_pair = lambda eq, a, b: jnp.einsum(eq, a, b)  # noqa: E731
+    ops = list(operands)
+    logs = None
+    for i, j, eq in steps:
+        a, b = ops[i], ops[j]
+        hi, lo = max(i, j), min(i, j)
+        ops.pop(hi)
+        ops.pop(lo)
+        t = contract_pair(eq, a, b)
+        if rescale:
+            s = jax.lax.stop_gradient(jnp.max(jnp.abs(t)) + _TINY)
+            t = t / s
+            step_log = jnp.log(s)
+            logs = step_log if logs is None else logs + step_log
+        ops.append(t)
+    final = ops[0]
+    if rescale:
+        if logs is None:  # zero-step (single operand) case
+            logs = jnp.zeros((), jnp.result_type(final.real if jnp.iscomplexobj(final) else final))
+        return final, logs
+    return final
+
+
+def log_abs_einsum(
+    equation: str,
+    operands: Sequence[jax.Array],
+    max_intermediate: int = 1 << 26,
+) -> jax.Array:
+    """log|einsum(equation, *operands)| for a SCALAR-output einsum,
+    float32-stable at any network depth (per-step renormalization)."""
+    if not equation.endswith("->"):
+        raise ValueError("log_abs_einsum requires a scalar-output equation")
+    shapes = tuple(tuple(int(d) for d in np.shape(o)) for o in operands)
+    path = choose_path(equation, shapes, max_intermediate)
+    steps = pairwise_steps(equation, path)
+    final, logs = execute_pairwise(steps, operands, rescale=True)
+    return logs + jnp.log(jnp.abs(final) + _TINY)
+
+
+def row_major_core_order(graph) -> List[int]:
+    """Core indices sorted by (lowest qubit touched, symbol index): the
+    qubit-sweep order that keeps boundary environments small for layered
+    circuits (brick wall / wall_col)."""
+
+    def min_qubit(c):
+        return min(e.qubit for e in c.in_edges + c.out_edges)
+
+    return sorted(range(graph.ncores), key=lambda i: (min_qubit(graph.cores[i]), i))
+
+
+def make_log_abs_overlap_fn(graph, max_intermediate: int = 1 << 26):
+    """fn(params_a, params_b) -> log|⟨A, B⟩| for two same-graph networks.
+
+    Generalizes the chain transfer scan to ANY topology: the two-network
+    overlap equation's operands are pre-ordered row-major and interleaved
+    (A-core, B-core per slot) so the linear-path fallback IS the
+    boundary-MPS sweep; the flops-optimal native path is used when its
+    intermediates fit.  B-side cores are conjugated (Hermitian overlap).
+    """
+    from .einsum_spec import two_network_spec
+
+    spec = two_network_spec(graph, graph)
+    lhs, rhs = spec.equation.split("->")
+    subs = lhs.split(",")
+    n = graph.ncores
+    order = row_major_core_order(graph)
+    # interleave: A_k then B_k for each row-major slot k
+    perm = []
+    for k in order:
+        perm.extend((k, n + k))
+    new_subs = [subs[p] for p in perm]
+    equation = ",".join(new_subs) + "->" + rhs
+    names = [graph.cores[k].name for k in order]
+
+    def fn(params_a, params_b):
+        ops = []
+        for name in names:
+            ops.append(params_a[name])
+            ops.append(jnp.conj(params_b[name]))
+        return log_abs_einsum(equation, ops, max_intermediate)
+
+    return fn

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.dsl import CircuitGraph
-from ..ops.contract import make_two_network_fn
 from ..ops.scaling import auto_scale
 from ..optim.stiefel import GradientTransformation
 from .fit import FitResult, identity_cores
@@ -111,10 +110,13 @@ def network_log_fidelity(
     """log F between two same-graph networks, float32-safe at large n.
 
     MPS chains contract via the rescaled transfer scan (stable at ANY
-    depth); other topologies use the dense two-network einsum on
-    max-abs-normalized cores (stable to ~24 qubits in float32).
+    depth, and scan-compiled); every other topology — the flagship brick
+    wall above all — goes through the generic rescaled pairwise executor
+    (``ops/pairwise.py``), which renormalizes after every pairwise
+    contraction and is equally float32-stable at any qubit count.
     """
     from ..ops.mps_sweep import is_mps_chain
+    from ..ops.pairwise import make_log_abs_overlap_fn
 
     p = _normalize(params)
     t = _normalize(target_params)
@@ -125,12 +127,11 @@ def network_log_fidelity(
             log_oo = _chain_log_overlap(pc, pc)
             log_tt = _chain_log_overlap(tc, tc)
             return 2.0 * log_ov - log_oo - log_tt
-    overlap_fn = make_two_network_fn(graph, graph, conj_target=True)
-    ov = overlap_fn(p, t)
-    oo = jnp.real(overlap_fn(p, p))
-    tt = jnp.real(overlap_fn(t, t))
-    log_num = jnp.log(jnp.real(ov) ** 2 + jnp.imag(ov) ** 2 + _TINY)
-    return log_num - jnp.log(oo + _TINY) - jnp.log(tt + _TINY)
+    log_abs_overlap = make_log_abs_overlap_fn(graph)
+    log_ov = log_abs_overlap(p, t)
+    log_oo = log_abs_overlap(p, p)
+    log_tt = log_abs_overlap(t, t)
+    return 2.0 * log_ov - log_oo - log_tt
 
 
 def network_fidelity(
@@ -154,10 +155,12 @@ def make_masked_network_fidelity_fit(
     one jitted ``lax.while_loop`` with early exit at ``1 − F < tol``.
 
     For MPS-chain graphs the overlaps contract via the rescaled
-    transfer-matrix scan (float32-safe at any depth); other topologies use
-    the dense two-network einsum (stable to ~24 qubits in float32).
+    transfer-matrix scan (float32-safe at any depth); every other topology
+    — the flagship brick wall included — via the generic rescaled pairwise
+    executor (``ops/pairwise.py``), float32-safe at any qubit count.
     """
     from ..ops.mps_sweep import is_mps_chain
+    from ..ops.pairwise import make_log_abs_overlap_fn
 
     mid_shapes = {c.shape for c in graph.cores[1:-1]}
     bonds = {graph.cores[0].shape[-1], graph.cores[-1].shape[0]}
@@ -170,17 +173,14 @@ def make_masked_network_fidelity_fit(
         and len(bonds) == 1
     )
     if not use_chain:
-        dense_overlap = make_two_network_fn(graph, graph, conj_target=True)
+        generic_overlap = make_log_abs_overlap_fn(graph)
 
     def log_abs_overlap(a, b):
         """log |⟨A, B⟩| on already-normalized core dicts."""
         if use_chain:
             return _chain_log_overlap(_chain_cores(graph, a),
                                       _chain_cores(graph, b))
-        ov = dense_overlap(a, b)
-        return 0.5 * jnp.log(
-            jnp.real(ov) ** 2 + jnp.imag(ov) ** 2 + _TINY
-        )
+        return generic_overlap(a, b)
 
     idents = identity_cores(graph, dtype)
     names = graph.core_names
