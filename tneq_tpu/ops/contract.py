@@ -23,6 +23,7 @@ from ..graph.dsl import CircuitGraph
 from .einsum_spec import (
     EinsumSpec,
     core_only_spec,
+    siamese_env_spec,
     siamese_spec,
     two_network_spec,
     with_inputs_spec,
@@ -185,6 +186,34 @@ def make_siamese_fn(
         ops = _gather_operands(
             spec, params, states=states, measures=measures, conj_right=conj_right
         )
+        return _einsum(spec, ops)
+
+    return fn
+
+
+def make_siamese_env_fn(
+    graph: CircuitGraph,
+    open_qubit: int,
+    with_states: bool = True,
+    states_batched: bool = False,
+):
+    """fn(params, states, measures) -> environment ``[B, K, K]`` with
+    ``open_qubit``'s measurement slot left open.
+
+    ``measures`` is a FULL per-qubit list; the entry at ``open_qubit`` is
+    ignored (no operand consumes it).  The siamese value for any operator M
+    on that qubit is then ``einsum('bkl,...kl->b...', env, M)`` — the
+    sampler's grid evaluation becomes one tiny inner product instead of an
+    S×G re-contraction of the whole network.
+    """
+    spec = siamese_env_spec(graph, open_qubit, with_states, states_batched)
+
+    def fn(
+        params: Params,
+        states: Optional[Sequence[jax.Array]],
+        measures: Sequence[jax.Array],
+    ) -> jax.Array:
+        ops = _gather_operands(spec, params, states=states, measures=measures)
         return _einsum(spec, ops)
 
     return fn

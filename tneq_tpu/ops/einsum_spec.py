@@ -325,7 +325,11 @@ def siamese_env_spec(
             subs.append(state_batch + t_in[q])
             ops.append(("state_conj", q))
 
-    out = batch + s_out[open_qubit] + t_out[open_qubit]
+    # the batch symbol only exists in the inputs via measure operands (or
+    # batched states); with one qubit open on a 1-qubit circuit there are
+    # none, and the environment is unbatched
+    has_batch = states_batched or graph.nqubits > 1
+    out = (batch if has_batch else "") + s_out[open_qubit] + t_out[open_qubit]
     return EinsumSpec(",".join(subs) + "->" + out, tuple(ops))
 
 
