@@ -79,3 +79,101 @@ class TestFusedTransferStepComplex:
         np.testing.assert_allclose(
             np.asarray(c).real, np.asarray(r), rtol=1e-4, atol=1e-5
         )
+
+
+class TestTransferStepVJP:
+    """Differentiable kernels: custom-VJP gradients match XLA einsum
+    gradients (f32 accumulation-order noise allowed)."""
+
+    def _data(self, complex_=False):
+        rng = np.random.default_rng(0)
+        B, D, K = 16, 4, 3
+
+        def mk(shape):
+            x = rng.normal(size=shape)
+            if complex_:
+                x = x + 1j * rng.normal(size=shape)
+            return jnp.asarray(x, jnp.complex64 if complex_ else jnp.float32)
+
+        return mk((B, D, D)), mk((D, K, D)), mk((B, K, K))
+
+    def test_real_grad_parity(self):
+        from tneq_tpu.ops.pallas_kernels import transfer_step
+
+        env, a, mx = self._data()
+
+        def ref(env, a, mx):
+            return jnp.einsum("zab,akc,zkl,bld->zcd", env, a, mx, a)
+
+        with jax.default_matmul_precision("highest"):
+            np.testing.assert_allclose(
+                np.asarray(transfer_step(env, a, mx)),
+                np.asarray(ref(env, a, mx)), rtol=1e-5, atol=1e-5,
+            )
+            gk = jax.grad(
+                lambda *t: jnp.sum(jnp.sin(transfer_step(*t))), argnums=(0, 1, 2)
+            )(env, a, mx)
+            gr = jax.grad(
+                lambda *t: jnp.sum(jnp.sin(ref(*t))), argnums=(0, 1, 2)
+            )(env, a, mx)
+        for x, y in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=5e-3, atol=1e-4
+            )
+
+    def test_complex_grad_parity(self):
+        from tneq_tpu.ops.pallas_kernels import transfer_step_complex
+
+        env, a, mx = self._data(complex_=True)
+
+        def ref(env, a, mx):
+            return jnp.einsum("zab,akc,zkl,bld->zcd", env, a, mx, jnp.conj(a))
+
+        with jax.default_matmul_precision("highest"):
+            np.testing.assert_allclose(
+                np.asarray(transfer_step_complex(env, a, mx)),
+                np.asarray(ref(env, a, mx)), rtol=1e-4, atol=1e-4,
+            )
+            gk = jax.grad(
+                lambda *t: jnp.sum(jnp.abs(transfer_step_complex(*t)) ** 2),
+                argnums=(0, 1, 2),
+            )(env, a, mx)
+            gr = jax.grad(
+                lambda *t: jnp.sum(jnp.abs(ref(*t)) ** 2), argnums=(0, 1, 2)
+            )(env, a, mx)
+        for x, y in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=5e-3, atol=5e-3
+            )
+
+    def test_sweep_trains_with_pallas(self):
+        """End-to-end: gradient of the pallas-routed siamese sweep matches
+        the XLA sweep gradient on a chain graph."""
+        from tneq_tpu.graph import mps_graph, parse_graph
+        from tneq_tpu.model.qctn import init_params
+        from tneq_tpu.ops.mps_sweep import mps_sweep_siamese_fn
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(6, dim=3))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        states = basis_states(g, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        K = g.output_ranks[0]
+        measures = [
+            jnp.asarray(rng.normal(size=(8, K, K)), jnp.float32)
+            for _ in range(g.nqubits)
+        ]
+        fn_x = mps_sweep_siamese_fn(g, use_pallas=False)
+        fn_p = mps_sweep_siamese_fn(g, use_pallas=True, pallas_interpret=True)
+
+        def loss(fn, p):
+            return jnp.sum(fn(p, states, measures) ** 2)
+
+        with jax.default_matmul_precision("highest"):
+            lx, gx = jax.value_and_grad(lambda p: loss(fn_x, p))(params)
+            lp, gp = jax.value_and_grad(lambda p: loss(fn_p, p))(params)
+        np.testing.assert_allclose(float(lx), float(lp), rtol=1e-4)
+        for n in gx:
+            np.testing.assert_allclose(
+                np.asarray(gx[n]), np.asarray(gp[n]), rtol=5e-3, atol=1e-4
+            )

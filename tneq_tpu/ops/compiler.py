@@ -50,12 +50,15 @@ def compile_siamese(
     states_batched: bool = False,
     measure_extra_dims: int = 1,
     mode: str = "auto",
+    use_pallas: bool = False,
 ) -> Tuple[Any, str]:
     """Return ``(compute_fn, strategy_name)`` for the siamese contraction.
 
     ``mode``: 'auto' (structural dispatch), 'einsum', 'mps_sweep', 'sliced'.
     ``compute_fn(params, states, measures)`` has the ``make_siamese_fn``
-    signature in every case.
+    signature in every case.  ``use_pallas`` routes the chain sweep's
+    transfer step through the fused VMEM kernel (differentiable: custom VJP
+    installed), worth ~2x at large batch on TPU.
     """
     if mode not in ("auto", "einsum", "mps_sweep", "sliced"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -85,7 +88,8 @@ def compile_siamese(
     ):
         if not is_mps_chain(graph):
             raise ValueError("graph is not an MPS chain")
-        return mps_sweep_siamese_fn(graph), "mps_sweep"
+        name = "mps_sweep_pallas" if use_pallas else "mps_sweep"
+        return mps_sweep_siamese_fn(graph, use_pallas=use_pallas), name
 
     return (
         make_siamese_fn(

@@ -69,19 +69,18 @@ def mps_sweep_siamese_fn(
 
     def _transfer(env, a, mx, conj):
         if use_pallas:
-            from .pallas_kernels import (
-                fused_transfer_step,
-                fused_transfer_step_complex,
-            )
+            # differentiable kernels (custom VJP): the sweep can now sit in
+            # the training hot loop, not just forward contraction
+            from .pallas_kernels import transfer_step, transfer_step_complex
 
             if jnp.iscomplexobj(env) or jnp.iscomplexobj(a):
-                return fused_transfer_step_complex(
+                return transfer_step_complex(
                     env.astype(jnp.complex64),
                     a.astype(jnp.complex64),
                     mx.astype(jnp.complex64),
                     interpret=pallas_interpret,
                 )
-            return fused_transfer_step(env, a, mx, interpret=pallas_interpret)
+            return transfer_step(env, a, mx, interpret=pallas_interpret)
         return jnp.einsum("zab,akc,zkl,bld->zcd", env, a, mx, conj(a))
 
     def fn(params, states, measures):
