@@ -148,6 +148,20 @@ def tpu_attempt() -> int:
     return 0
 
 
+def _step_flops():
+    """Exact FLOPs of one headline gradient step (3 overlaps, fwd+bwd);
+    None if the model fails (accounting must never sink the bench)."""
+    try:
+        from tneq_tpu.bench.flops import network_fidelity_step_flops
+        from tneq_tpu.graph import mps_graph, parse_graph
+
+        g = parse_graph(mps_graph(N_QUBITS, dim=BOND_DIM))
+        return float(network_fidelity_step_flops(g, "float32", gradient=True))
+    except Exception as e:
+        log(f"flop accounting failed: {e}")
+        return None
+
+
 def bench_torch_cpu() -> float:
     """Equivalent torch-CPU step: same two-network contraction (via
     opt_einsum's torch backend, as the reference's EinsumStrategy does),
@@ -243,6 +257,8 @@ def main():
         log(f"torch baseline failed: {e}")
         torch_sps = None
 
+    flops_per_step = _step_flops()
+
     if jax_sps is None:
         print(json.dumps({
             "metric": METRIC,
@@ -253,13 +269,21 @@ def main():
         }))
         return
     vs = (jax_sps / torch_sps) if torch_sps else None
-    print(json.dumps({
+    rec = {
         "metric": METRIC,
         "value": round(jax_sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "device": device,
-    }))
+    }
+    if flops_per_step:
+        tflops = jax_sps * flops_per_step / 1e12
+        rec["flops_per_step"] = flops_per_step
+        rec["tflops"] = round(tflops, 4)
+        from tneq_tpu.bench.flops import mxu_utilization
+
+        rec["mxu_util"] = round(mxu_utilization(tflops, "float32"), 6)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -70,7 +70,9 @@ class TestChoosePath:
         shapes = ((64, 64), (64, 64), (64, 64), (64, 64))
         eq = "ab,bc,cd,da->"
         path_small = choose_path(eq, shapes, max_intermediate=16)
-        assert list(path_small) == [(0, 1), (0, 1), (0, 1)]
+        from tneq_tpu.ops.pairwise import _linear_path
+
+        assert list(path_small) == _linear_path(4)
 
     def test_small_network_uses_native_or_linear(self):
         shapes = ((2, 3), (3, 4), (4, 2))

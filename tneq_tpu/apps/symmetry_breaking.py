@@ -54,6 +54,10 @@ class SymmetryBreakingConfig:
     # network-network overlaps only (scales to 30+ qubits)
     fidelity_mode: str = "dense"
     dtype: object = jnp.complex64
+    # run complex cores in stacked-real (pair) form: real-only ops, so the
+    # complex experiment trains on the complex64-less axon TPU
+    # (ops/complex_pair.py; parity with the complex path is unit-tested)
+    complex_as_real: bool = False
     validate_lr: float = 1.0
     validate_steps: int = 4000
     prune_lr: float = 1e-2
@@ -85,20 +89,44 @@ class Experiment:
             make_fit = make_masked_fidelity_fit
         else:
             raise ValueError(f"unknown fidelity_mode {cfg.fidelity_mode!r}")
+        if cfg.complex_as_real:
+            from ..optim.pair_stiefel import pair_sgdg
+
+            make_opt = pair_sgdg
+        else:
+            make_opt = sgdg
         self.validate_fit = make_fit(
             self.graph,
-            sgdg(cfg.validate_lr, momentum=cfg.momentum, stiefel=True),
+            make_opt(cfg.validate_lr, momentum=cfg.momentum, stiefel=True),
             max_steps=cfg.validate_steps,
             tol=cfg.tol,
             dtype=cfg.dtype,
+            complex_as_real=cfg.complex_as_real,
         )
         self.prune_fit = make_fit(
             self.graph,
-            sgdg(cfg.prune_lr, momentum=cfg.momentum, stiefel=True),
+            make_opt(cfg.prune_lr, momentum=cfg.momentum, stiefel=True),
             max_steps=cfg.prune_steps,
             tol=cfg.tol,
             dtype=cfg.dtype,
+            complex_as_real=cfg.complex_as_real,
         )
+
+    def init_params(self, key: jax.Array):
+        """Fresh orthogonal cores in the experiment's representation.
+
+        Pair mode draws the complex init on the CPU backend (the TPU plugin
+        cannot create complex arrays) and converts to stacked-real pairs."""
+        if not self.cfg.complex_as_real:
+            return init_params(self.graph, key, self.cfg.dtype)
+        from ..ops.complex_pair import pair_tree
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            cx = init_params(self.graph, key, jnp.complex64)
+            pairs = {k: np.asarray(jnp.stack([jnp.real(v), jnp.imag(v)]),
+                                   np.float32)
+                     for k, v in cx.items()}
+        return {k: jnp.asarray(v) for k, v in pairs.items()}
 
     def run_fit(self, fit, params, mask, target):
         """Invoke a fit with the mode-appropriate target representation."""
@@ -132,19 +160,26 @@ def target_tensor_init(
     itself in 'network' fidelity mode).
     (Reference ``symmetry_breaking_quantum.py:128-146``.)"""
     from ..ops.contract import make_core_only_fn
-    from ..train.fit import identity_cores
+    from ..train.fit import identity_cores, pair_identity_cores
 
-    params = init_params(exp.graph, key, exp.cfg.dtype)
+    params = exp.init_params(key)
     mask = exp.mask_vector(target_mask_list)
     if exp.cfg.fidelity_mode == "network":
         return params, mask
-    idents = identity_cores(exp.graph, exp.cfg.dtype)
+    if exp.cfg.complex_as_real:
+        from ..ops.complex_pair import make_pair_core_only_fn
+
+        idents = pair_identity_cores(exp.graph)
+        cast, core_fn = jnp.float32, make_pair_core_only_fn(exp.graph)
+    else:
+        idents = identity_cores(exp.graph, exp.cfg.dtype)
+        cast, core_fn = exp.cfg.dtype, make_core_only_fn(exp.graph)
     eff = {
-        n: mask[i].astype(exp.cfg.dtype) * params[n]
-        + (1 - mask[i]).astype(exp.cfg.dtype) * idents[n]
+        n: mask[i].astype(cast) * params[n]
+        + (1 - mask[i]).astype(cast) * idents[n]
         for i, n in enumerate(exp.graph.core_names)
     }
-    return make_core_only_fn(exp.graph)(eff)
+    return core_fn(eff)
 
 
 def validate_target_tensor(
@@ -155,7 +190,7 @@ def validate_target_tensor(
 
     ``return_params=True`` additionally returns the fitted weights — the
     warm-start seed for the pruning loop."""
-    params = init_params(exp.graph, key, exp.cfg.dtype)
+    params = exp.init_params(key)
     full_mask = exp.mask_vector([])
     res = exp.run_fit(exp.validate_fit, params, full_mask, target)
     infid = float(res.infidelity)
@@ -204,11 +239,7 @@ def symmetry_breaking(
                     print(f"  skip core {idx}: would empty a qubit row")
                 continue
             key, sub = jax.random.split(key)
-            params = (
-                current
-                if current is not None
-                else init_params(exp.graph, sub, cfg.dtype)
-            )
+            params = current if current is not None else exp.init_params(sub)
             res = exp.run_fit(
                 exp.prune_fit, params, exp.mask_vector(trial), target
             )
@@ -313,13 +344,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                    default="dense",
                    help="'network' computes fidelity from network overlaps "
                         "(no dense target; required beyond ~14 qubits)")
-    p.add_argument("--dtype", choices=["complex64", "float32"],
+    p.add_argument("--dtype",
+                   choices=["complex64", "float32", "complex64-pair"],
                    default="complex64",
                    help="core dtype; float32 runs the real-orthogonal "
-                        "variant (e.g. on accelerators without complex "
-                        "support)")
+                        "variant; complex64-pair lowers complex cores to "
+                        "stacked-real pairs (real-only ops: the complex "
+                        "experiment on accelerators without complex64)")
     args = p.parse_args(argv)
 
+    pair_mode = args.dtype == "complex64-pair"
     cfg = SymmetryBreakingConfig(
         n_qubits=args.n_qubits,
         n_cells=args.n_cells,
@@ -328,7 +362,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         validate_steps=args.validate_steps,
         prune_steps=args.prune_steps,
         seed=args.seed,
-        dtype=getattr(jnp, args.dtype),
+        dtype=jnp.complex64 if pair_mode else getattr(jnp, args.dtype),
+        complex_as_real=pair_mode,
     )
     exp = make_experiment(cfg)
     key = jax.random.PRNGKey(cfg.seed)

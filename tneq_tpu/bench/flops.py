@@ -1,0 +1,120 @@
+"""Exact FLOP accounting for contraction workloads.
+
+The reference's benchmark tooling always reports achieved GFLOPS against a
+theoretical peak (``tools/stage2_compute_benchmark/test_single_cmg_peak.py:1-60``);
+round 1 of this rebuild reported only steps/s.  This module provides the
+missing FLOP model so every bench stage can report achieved TFLOP/s and
+%-of-peak (the BASELINE.md >=50% MXU north-star metric).
+
+Conventions:
+- one real multiply-add = 2 FLOPs;
+- a complex multiply-add = 8 real FLOPs (4 mult + 4 add);
+- a pairwise einsum step costs ``2 * prod(union-of-index sizes)``;
+- a gradient step costs ``3x`` the forward contraction (each pairwise
+  product's VJP is two products of the same size — the deep-learning
+  fwd:bwd = 1:2 rule, exact for multilinear contractions).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "einsum_flops",
+    "overlap_flops",
+    "network_fidelity_step_flops",
+    "PEAK_TFLOPS",
+    "mxu_utilization",
+]
+
+# Practical single-chip peaks for utilization reporting.  v5e bf16 MXU peak
+# is ~197 TFLOP/s; f32 runs as multi-pass bf16 — the measured practical
+# ceiling on this chip is ~50 TFLOP/s (chained 4096^2 f32 matmuls,
+# docs/ROUND1.md).  complex64 lowers to 4 real products.
+PEAK_TFLOPS: Dict[str, float] = {
+    "bfloat16": 197.0,
+    "float32": 50.0,
+    "complex64": 50.0,
+}
+
+
+def _complex_factor(dtype) -> float:
+    return 4.0 if np.issubdtype(np.dtype(dtype), np.complexfloating) else 1.0
+
+
+def einsum_flops(
+    equation: str,
+    shapes: Sequence[Tuple[int, ...]],
+    path: Optional[Sequence[Tuple[int, int]]] = None,
+    dtype=np.float32,
+) -> float:
+    """Exact FLOPs of executing ``equation`` along ``path`` (default: the
+    same memory-guarded path the runtime uses, so the count matches what
+    actually runs)."""
+    from ..ops.pairwise import choose_path, path_flops
+
+    shapes = tuple(tuple(int(d) for d in s) for s in shapes)
+    if path is None:
+        path = choose_path(equation, shapes)
+    return path_flops(equation, shapes, list(path)) * _complex_factor(dtype)
+
+
+def overlap_flops(graph, dtype=np.float32) -> float:
+    """Forward FLOPs of one two-network overlap ⟨A, B⟩ of ``graph`` with
+    itself, counted along the SAME operand order + path the rescaled
+    pairwise executor uses (``ops/pairwise.make_log_abs_overlap_fn``)."""
+    from ..ops.einsum_spec import two_network_spec
+    from ..ops.pairwise import row_major_core_order
+
+    spec = two_network_spec(graph, graph)
+    lhs, rhs = spec.equation.split("->")
+    subs = lhs.split(",")
+    n = graph.ncores
+    order = row_major_core_order(graph)
+    perm = []
+    for k in order:
+        perm.extend((k, n + k))
+    equation = ",".join(subs[p] for p in perm) + "->" + rhs
+    shapes = []
+    for k in order:
+        s = graph.cores[k].shape
+        shapes.extend((s, s))
+    return einsum_flops(equation, shapes, dtype=dtype)
+
+
+def network_fidelity_step_flops(
+    graph, dtype=np.float32, gradient: bool = True
+) -> float:
+    """FLOPs of one network-fidelity training step: 3 overlaps
+    (⟨p,t⟩, ⟨p,p⟩, ⟨t,t⟩), x3 when differentiated."""
+    fwd = 3.0 * overlap_flops(graph, dtype)
+    return fwd * (3.0 if gradient else 1.0)
+
+
+def siamese_flops(
+    graph, batch: int, dtype=np.float32, gradient: bool = False
+) -> float:
+    """Forward FLOPs of the batched siamese Born-rule contraction."""
+    from ..ops.einsum_spec import siamese_spec
+
+    spec = siamese_spec(graph, with_states=True, states_batched=False)
+    shapes = []
+    for kind, key in spec.operands:
+        if kind in ("core", "core_conj"):
+            shapes.append(graph.shapes[key])
+        elif kind in ("state", "state_conj"):
+            shapes.append((graph.input_ranks[key],))
+        else:
+            r = graph.output_ranks[key]
+            shapes.append((batch, r, r))
+    fwd = einsum_flops(spec.equation, shapes, dtype=dtype)
+    return fwd * (3.0 if gradient else 1.0)
+
+
+def mxu_utilization(tflops_achieved: float, dtype=np.float32) -> float:
+    """Fraction of the practical single-chip peak for this dtype."""
+    key = np.dtype(dtype).name
+    peak = PEAK_TFLOPS.get(key, PEAK_TFLOPS["float32"])
+    return tflops_achieved / peak

@@ -304,6 +304,18 @@ def stage_large_network(n_qubits: int = 32, n_cells: int = 2, **_) -> Dict[str, 
         "ms_per_step": round(dt / 16.0 * 1e3, 3),
     }
     try:
+        from .flops import mxu_utilization, overlap_flops
+
+        # masked fit: 2 overlaps per gradient step (⟨eff,target⟩, ⟨eff,eff⟩),
+        # x3 for forward+backward
+        fl = 3.0 * 2.0 * overlap_flops(graph, "complex64")
+        tflops = rec["steps_per_sec"] * fl / 1e12
+        rec["flops_per_step"] = fl
+        rec["tflops"] = round(tflops, 4)
+        rec["mxu_util"] = round(mxu_utilization(tflops, "complex64"), 6)
+    except Exception as e:
+        rec["flops_error"] = f"{type(e).__name__}: {e}"
+    try:
         torch_sps = _torch_network_step_baseline(graph)
         rec["torch_cpu_steps_per_sec"] = round(torch_sps, 2)
         rec["vs_torch_cpu"] = round(rec["steps_per_sec"] / torch_sps, 1)
@@ -356,6 +368,74 @@ def _torch_network_step_baseline(graph, n_steps: int = 10) -> float:
     return n_steps / (time.perf_counter() - t0)
 
 
+def stage_bond_sweep(
+    n_qubits: int = 32,
+    bond_dims=(8, 16, 32, 64),
+    bench_steps: int = 50,
+    **_,
+) -> Dict[str, Any]:
+    """Sweep the MPS bond dimension on the headline network-fidelity
+    gradient step, reporting achieved TFLOP/s and MXU utilization per D —
+    the knob the >=50%-MXU north star actually turns on (VERDICT r1 #1).
+    FLOPs are exact counts of the contraction path (``bench/flops.py``)."""
+    import jax.random as jrandom
+
+    from ..graph import mps_graph, parse_graph
+    from ..model.qctn import init_params
+    from ..train.network_fit import network_log_fidelity
+    from .flops import mxu_utilization, network_fidelity_step_flops
+
+    results = []
+    for dim in bond_dims:
+        g = parse_graph(mps_graph(n_qubits, dim=dim))
+        k1, k2 = jax.random.split(jrandom.PRNGKey(0))
+        target = init_params(g, k1, jnp.float32)
+        params = {
+            n: t + 0.01 * jrandom.normal(jrandom.fold_in(k2, i), t.shape)
+            for i, (n, t) in enumerate(sorted(target.items()))
+        }
+
+        def loss(p, t):
+            return -network_log_fidelity(g, p, t)
+
+        def steps(p, t):
+            def body(c, _):
+                l, gr = jax.value_and_grad(loss)(c, t)
+                return jax.tree.map(lambda a, b: a - 1e-3 * b, c, gr), l
+
+            return jax.lax.scan(body, p, None, length=bench_steps)[1][-1]
+
+        t0 = time.perf_counter()
+        compiled = jax.jit(steps).lower(params, target).compile()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = float(compiled(params, target))  # scalar fetch = barrier
+        dt = time.perf_counter() - t0
+        sps = bench_steps / dt
+        fl = network_fidelity_step_flops(g, "float32", gradient=True)
+        tflops = sps * fl / 1e12
+        results.append({
+            "bond_dim": dim,
+            "steps_per_sec": round(sps, 2),
+            "flops_per_step": fl,
+            "tflops": round(tflops, 4),
+            "mxu_util": round(mxu_utilization(tflops, "float32"), 6),
+            "compile_s": round(compile_s, 1),
+            "final_loss": out,
+        })
+    best = max(results, key=lambda r: r["tflops"])
+    return {
+        "stage": "bond_sweep",
+        "n_qubits": n_qubits,
+        "bench_steps": bench_steps,
+        "device": jax.devices()[0].platform,
+        "sweep": results,
+        "peak_tflops": best["tflops"],
+        "peak_bond_dim": best["bond_dim"],
+        "peak_mxu_util": best["mxu_util"],
+    }
+
+
 ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "1_env_audit": stage_env_audit,
     "2_matmul_peak": stage_matmul_peak,
@@ -366,4 +446,5 @@ ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "2b_dtype_policy": stage_dtype_policy,
     "6b_tn_workload": stage_tn_workload,
     "7_large_network": stage_large_network,
+    "7b_bond_sweep": stage_bond_sweep,
 }

@@ -51,8 +51,18 @@ Step = Tuple[int, int, str]  # (i, j, "sub_i,sub_j->sub_out")
 
 
 def _linear_path(n: int) -> List[Tuple[int, int]]:
-    """((o0·o1)·o2)·...: sequential left-fold over the operand order."""
-    return [(0, 1)] * (n - 1)
+    """((o0·o1)·o2)·...: sequential left-fold over the operand order.
+
+    opt_einsum convention appends each result at the END of the operand
+    list, so after the first step the running result sits at the last
+    position: fold steps contract (0, len-1).
+    """
+    if n <= 1:
+        return []
+    path = [(0, 1)]
+    for remaining in range(n - 1, 1, -1):
+        path.append((0, remaining - 1))
+    return path
 
 
 def pairwise_steps(
@@ -95,14 +105,19 @@ def pairwise_steps(
     return steps
 
 
-def _max_intermediate_size(
-    equation: str, shapes: Sequence[Tuple[int, ...]], path
-) -> int:
-    """Largest intermediate (in elements) the path would materialize."""
+def _index_sizes(equation: str, shapes: Sequence[Tuple[int, ...]]):
     lhs, _ = equation.split("->")
     dims = {}
     for sub, shape in zip(lhs.split(","), shapes):
         dims.update(zip(sub, shape))
+    return dims
+
+
+def _max_intermediate_size(
+    equation: str, shapes: Sequence[Tuple[int, ...]], path
+) -> int:
+    """Largest intermediate (in elements) the path would materialize."""
+    dims = _index_sizes(equation, shapes)
     biggest = 0
     for _, _, eq in pairwise_steps(equation, path):
         out = eq.split("->")[1]
@@ -111,33 +126,57 @@ def _max_intermediate_size(
     return biggest
 
 
+def path_flops(
+    equation: str, shapes: Sequence[Tuple[int, ...]], path
+) -> float:
+    """Exact real FLOPs of executing the path: 2·prod(union-of-index sizes)
+    per pairwise step (one multiply-add = 2 FLOPs)."""
+    dims = _index_sizes(equation, shapes)
+    total = 0.0
+    for _, _, eq in pairwise_steps(equation, path):
+        union = set(eq.split("->")[0].replace(",", ""))
+        total += 2.0 * float(
+            np.prod([dims[ch] for ch in union], dtype=np.float64)
+        )
+    return total
+
+
 @lru_cache(maxsize=512)
 def choose_path(
     equation: str,
     shapes: Tuple[Tuple[int, ...], ...],
     max_intermediate: int = 1 << 26,
 ) -> Tuple[Tuple[int, int], ...]:
-    """Flops-optimal path unless it blows memory; else the linear sweep.
+    """Cheapest of {native flops-optimal, linear sweep} that fits memory.
 
-    The linear fallback contracts operands in their given order — callers
+    The linear candidate folds operands in their given order — callers
     arrange row-major (qubit-sweep) order so layered circuits contract as a
-    boundary-MPS with small environments.
+    boundary-MPS with small environments.  The native pathfinder's greedy
+    heuristic can lose to the sweep on long chains (rung-first grouping),
+    so both candidates are costed exactly and the cheaper one wins.
     """
     n = len(shapes)
     if n <= 2:
         return tuple(_linear_path(n))
     from ..native.path import find_path
 
-    best = None
+    candidates = []
     try:
-        best = find_path(equation, shapes)
+        native = find_path(equation, shapes)
     except Exception:
-        best = None
-    if best is not None:
-        if _max_intermediate_size(equation, shapes, best) <= max_intermediate:
-            return tuple(best)
-    linear = _linear_path(n)
-    return tuple(linear)
+        native = None
+    if native is not None:
+        candidates.append(tuple(native))
+    candidates.append(tuple(_linear_path(n)))
+
+    feasible = [
+        (path_flops(equation, shapes, p), p)
+        for p in candidates
+        if _max_intermediate_size(equation, shapes, p) <= max_intermediate
+    ]
+    if not feasible:
+        return candidates[-1]  # linear; nothing fits, fail at runtime loudly
+    return min(feasible, key=lambda t: t[0])[1]
 
 
 def execute_pairwise(

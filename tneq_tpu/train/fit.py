@@ -59,6 +59,21 @@ class FitResult(NamedTuple):
     opt_state: object
 
 
+def pair_identity_cores(graph: CircuitGraph):
+    """Pair-form identity gates (host numpy): real part = I, imag = 0.
+    Used by the complex-as-real fits (``ops/complex_pair.py``)."""
+    out = {}
+    for core in graph.cores:
+        if core.input_dim != core.output_dim:
+            raise ValueError(
+                f"core {core.name!r} has input_dim {core.input_dim} != "
+                f"output_dim {core.output_dim}; identity masking undefined"
+            )
+        eye = np.eye(core.input_dim, dtype=np.float32).reshape(core.shape)
+        out[core.name] = np.stack([eye, np.zeros_like(eye)])
+    return out
+
+
 def make_masked_fidelity_fit(
     graph: CircuitGraph,
     optimizer: GradientTransformation,
@@ -67,6 +82,7 @@ def make_masked_fidelity_fit(
     dtype=jnp.complex64,
     order: str = "reference",
     loss_kind: str = "raw",
+    complex_as_real: bool = False,
 ) -> Callable:
     """Build ``fit(params, mask, target) -> FitResult``, fully jitted.
 
@@ -77,15 +93,29 @@ def make_masked_fidelity_fit(
       ``order`` axis convention).
     - The loop exits early once ``1 - fidelity < tol`` (reference threshold,
       ``symmetry_breaking_quantum.py:170,232``).
+    - ``complex_as_real``: params/target are stacked-real PAIRS
+      (``[2, *shape]``; ``ops/complex_pair.py``) and the whole fit lowers to
+      real-only ops — complex circuits on backends without complex64 (the
+      axon TPU).  Pass a pair optimizer (``optim.pair_stiefel.pair_sgdg``).
     """
-    core_fn = make_core_only_fn(graph, order)
-    idents = identity_cores(graph, dtype)
+    if complex_as_real:
+        from ..ops.complex_pair import make_pair_core_only_fn, pair_fidelity
+
+        core_fn = make_pair_core_only_fn(graph, order)
+        fid_fn = pair_fidelity
+        idents = pair_identity_cores(graph)
+        cast = jnp.float32
+    else:
+        core_fn = make_core_only_fn(graph, order)
+        fid_fn = fidelity
+        idents = identity_cores(graph, dtype)
+        cast = dtype
     names = graph.core_names
 
     def effective(params, mask):
         return {
-            n: mask[i].astype(dtype) * params[n]
-            + (1.0 - mask[i]).astype(dtype) * idents[n]
+            n: mask[i].astype(cast) * params[n]
+            + (1.0 - mask[i]).astype(cast) * idents[n]
             for i, n in enumerate(names)
         }
 
@@ -94,7 +124,7 @@ def make_masked_fidelity_fit(
         1-F; 'log' uses -log F (scale-free gradient — useful when a cold
         random start sits at F ~ 2^-2n where the raw gradient ∝ F dies)."""
         out = core_fn(effective(params, mask))
-        fid = fidelity(out, target)
+        fid = fid_fn(out, target)
         if loss_kind == "log":
             return -jnp.log(fid + 1e-30), 1.0 - fid
         return 1.0 - fid, 1.0 - fid

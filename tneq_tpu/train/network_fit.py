@@ -147,6 +147,7 @@ def make_masked_network_fidelity_fit(
     max_steps: int,
     tol: float = 1e-3,
     dtype=jnp.complex64,
+    complex_as_real: bool = False,
 ) -> Callable:
     """Build ``fit(params, mask, target_params, target_mask) -> FitResult``.
 
@@ -158,6 +159,10 @@ def make_masked_network_fidelity_fit(
     transfer-matrix scan (float32-safe at any depth); every other topology
     — the flagship brick wall included — via the generic rescaled pairwise
     executor (``ops/pairwise.py``), float32-safe at any qubit count.
+
+    ``complex_as_real``: params/target are stacked-real pairs and the fit
+    lowers to real-only ops (pair overlap executor + pair optimizer) —
+    complex network fits on the complex64-less TPU.
     """
     from ..ops.mps_sweep import is_mps_chain
     from ..ops.pairwise import make_log_abs_overlap_fn
@@ -167,12 +172,17 @@ def make_masked_network_fidelity_fit(
     for s in mid_shapes:
         bonds |= {s[0], s[-1]}
     use_chain = (
-        graph.ncores >= 2
+        not complex_as_real
+        and graph.ncores >= 2
         and is_mps_chain(graph)
         and len(mid_shapes) <= 1
         and len(bonds) == 1
     )
-    if not use_chain:
+    if complex_as_real:
+        from ..ops.complex_pair import make_pair_log_abs_overlap_fn
+
+        generic_overlap = make_pair_log_abs_overlap_fn(graph)
+    elif not use_chain:
         generic_overlap = make_log_abs_overlap_fn(graph)
 
     def log_abs_overlap(a, b):
@@ -182,15 +192,22 @@ def make_masked_network_fidelity_fit(
                                       _chain_cores(graph, b))
         return generic_overlap(a, b)
 
-    idents = identity_cores(graph, dtype)
+    if complex_as_real:
+        from .fit import pair_identity_cores
+
+        idents = pair_identity_cores(graph)
+        cast = jnp.float32
+    else:
+        idents = identity_cores(graph, dtype)
+        cast = dtype
     names = graph.core_names
     # exit when log F > log(1 - tol)
     log_tol = float(np.log1p(-tol))
 
     def effective(params, mask):
         return {
-            n: mask[i].astype(dtype) * params[n]
-            + (1.0 - mask[i]).astype(dtype) * idents[n]
+            n: mask[i].astype(cast) * params[n]
+            + (1.0 - mask[i]).astype(cast) * idents[n]
             for i, n in enumerate(names)
         }
 
