@@ -63,10 +63,13 @@ def einsum_flops(
 
 def overlap_flops(graph, dtype=np.float32) -> float:
     """Forward FLOPs of one two-network overlap ⟨A, B⟩ of ``graph`` with
-    itself, counted along the SAME operand order + path the rescaled
-    pairwise executor uses (``ops/pairwise.make_log_abs_overlap_fn``)."""
+    itself, counted along the path that actually executes: the rescaled
+    transfer-matrix SCAN for uniform MPS chains (= the linear sweep path),
+    else the pairwise executor's chosen path
+    (``ops/pairwise.make_log_abs_overlap_fn``)."""
     from ..ops.einsum_spec import two_network_spec
-    from ..ops.pairwise import row_major_core_order
+    from ..ops.mps_sweep import is_mps_chain
+    from ..ops.pairwise import _linear_path, row_major_core_order
 
     spec = two_network_spec(graph, graph)
     lhs, rhs = spec.equation.split("->")
@@ -81,7 +84,8 @@ def overlap_flops(graph, dtype=np.float32) -> float:
     for k in order:
         s = graph.cores[k].shape
         shapes.extend((s, s))
-    return einsum_flops(equation, shapes, dtype=dtype)
+    path = _linear_path(len(shapes)) if is_mps_chain(graph) else None
+    return einsum_flops(equation, shapes, path=path, dtype=dtype)
 
 
 def network_fidelity_step_flops(

@@ -436,6 +436,65 @@ def stage_bond_sweep(
     }
 
 
+def stage_fsdp_memory(
+    n_qubits: int = 12, bond_dim: int = 32, model_sizes=(1, 2, 4, 8), **_
+) -> Dict[str, Any]:
+    """Model-STATE sharding memory curve: per-device bytes of params +
+    optimizer state at fixed topology as the model axis grows (the
+    reference's per-rank weight ownership, ``model_parallel.py:186-243``,
+    recast as sharded stacked arrays — parallel/fsdp.py).  Done-criterion
+    of VERDICT r1 #7: sub-linear growth with mesh size."""
+    from ..graph import mps_graph, parse_graph
+    from ..model.qctn import init_params
+    from ..parallel import make_mesh
+    from ..parallel.fsdp import make_fsdp_network_fit_step
+
+    n_dev = len(jax.devices())
+    graph = parse_graph(mps_graph(n_qubits, dim=bond_dim))
+    params = init_params(graph, jax.random.PRNGKey(0), jnp.float32)
+    target = init_params(graph, jax.random.PRNGKey(1), jnp.float32)
+    total_param_bytes = sum(
+        int(np.prod(v.shape)) * v.dtype.itemsize for v in params.values()
+    )
+    results = []
+    for m in model_sizes:
+        if m > n_dev:
+            continue
+        mesh = make_mesh({"model": m}, devices=jax.devices()[:m])
+        step, prepare, opt = make_fsdp_network_fit_step(graph, mesh)
+        arrays = prepare(params)
+        t_arrays = prepare(target)
+        opt_state = opt.init(arrays)
+        # model state actually resident per device (params + momentum)
+        per_dev = 0
+        for a in list(arrays) + list(opt_state.momentum):
+            shard = a.addressable_shards[0]
+            per_dev += int(np.prod(shard.data.shape)) * a.dtype.itemsize
+        arrays2, opt_state2, loss = step(arrays, opt_state, t_arrays)
+        jax.block_until_ready(loss)
+        results.append({
+            "model_axis": m,
+            "model_state_bytes_per_device": per_dev,
+            "loss": float(loss),
+        })
+    rec = {
+        "stage": "fsdp_memory",
+        "n_qubits": n_qubits,
+        "bond_dim": bond_dim,
+        "replicated_param_bytes": total_param_bytes,
+        "curve": results,
+    }
+    if len(results) >= 2:
+        first, last = results[0], results[-1]
+        rec["scaling"] = round(
+            first["model_state_bytes_per_device"]
+            / last["model_state_bytes_per_device"],
+            2,
+        )
+        rec["mesh_growth"] = last["model_axis"] // first["model_axis"]
+    return rec
+
+
 ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "1_env_audit": stage_env_audit,
     "2_matmul_peak": stage_matmul_peak,
@@ -447,4 +506,5 @@ ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "6b_tn_workload": stage_tn_workload,
     "7_large_network": stage_large_network,
     "7b_bond_sweep": stage_bond_sweep,
+    "8_fsdp_memory": stage_fsdp_memory,
 }

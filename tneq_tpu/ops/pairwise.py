@@ -147,36 +147,31 @@ def choose_path(
     shapes: Tuple[Tuple[int, ...], ...],
     max_intermediate: int = 1 << 26,
 ) -> Tuple[Tuple[int, int], ...]:
-    """Cheapest of {native flops-optimal, linear sweep} that fits memory.
+    """Native (pathfinder) path when its intermediates fit memory, else the
+    linear row-major sweep.
 
-    The linear candidate folds operands in their given order — callers
-    arrange row-major (qubit-sweep) order so layered circuits contract as a
-    boundary-MPS with small environments.  The native pathfinder's greedy
-    heuristic can lose to the sweep on long chains (rung-first grouping),
-    so both candidates are costed exactly and the cheaper one wins.
+    Wall-clock measurement (docs/ROUND2.md) shows the native path's bushier
+    contraction tree beats the strictly-sequential sweep by ~4.5x on the
+    16q5c brick wall DESPITE costing ~8x the FLOPs — the sweep is a long
+    dependency chain of tiny ops (dispatch/latency-bound), so flops-minimal
+    is the wrong runtime criterion here.  The linear candidate remains the
+    memory fallback: callers pre-order operands row-major so it contracts
+    layered circuits as a boundary-MPS with small environments.
     """
     n = len(shapes)
     if n <= 2:
         return tuple(_linear_path(n))
     from ..native.path import find_path
 
-    candidates = []
     try:
         native = find_path(equation, shapes)
     except Exception:
         native = None
-    if native is not None:
-        candidates.append(tuple(native))
-    candidates.append(tuple(_linear_path(n)))
-
-    feasible = [
-        (path_flops(equation, shapes, p), p)
-        for p in candidates
-        if _max_intermediate_size(equation, shapes, p) <= max_intermediate
-    ]
-    if not feasible:
-        return candidates[-1]  # linear; nothing fits, fail at runtime loudly
-    return min(feasible, key=lambda t: t[0])[1]
+    if native is not None and _max_intermediate_size(
+        equation, shapes, native
+    ) <= max_intermediate:
+        return tuple(native)
+    return tuple(_linear_path(n))
 
 
 def execute_pairwise(
