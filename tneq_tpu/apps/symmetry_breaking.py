@@ -60,6 +60,11 @@ class SymmetryBreakingConfig:
     complex_as_real: bool = False
     validate_lr: float = 1.0
     validate_steps: int = 4000
+    # max vmap lanes per device call in the batched pruning sweep: a
+    # 35-lane vmap of the masked while_loop fit crashed the TPU worker
+    # ("kernel fault", docs/ROUND1.md); chunking keeps each call small and
+    # pads the tail chunk so every call reuses ONE compiled program
+    lane_chunk: int = 8
     prune_lr: float = 1e-2
     prune_steps: int = 5000
     momentum: float = 0.9
@@ -284,6 +289,33 @@ def symmetry_breaking_batched(
     pruned: List[int] = []
     prune_count = 0
     current = warm_params
+    chunk = max(1, int(cfg.lane_chunk))
+
+    def run_chunked(masks_np):
+        """Run the vmapped fit in <=lane_chunk pieces (tail padded by
+        repeating its last mask so every call hits one compiled shape)."""
+        n = masks_np.shape[0]
+        infids, params_chunks = [], []
+        for lo in range(0, n, chunk):
+            part = masks_np[lo: lo + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+            masks = jnp.asarray(part)
+            if cfg.fidelity_mode == "network":
+                t_params, t_mask = target
+                res = batched_fit(current, masks, t_params, t_mask)
+            else:
+                res = batched_fit(current, masks, target)
+            take = part.shape[0] - pad
+            infids.append(np.asarray(res.infidelity)[:take])
+            params_chunks.append(
+                jax.tree.map(lambda a: a[:take], res.params)
+            )
+        all_params = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *params_chunks
+        )
+        return np.concatenate(infids), all_params
 
     while len(pruned) < exp.graph.ncores:
         candidates = [
@@ -293,14 +325,11 @@ def symmetry_breaking_batched(
         ]
         if not candidates:
             break
-        masks = jnp.stack([exp.mask_vector(pruned + [c]) for c in candidates])
+        masks_np = np.stack(
+            [np.asarray(exp.mask_vector(pruned + [c])) for c in candidates]
+        )
         prune_count += len(candidates)
-        if cfg.fidelity_mode == "network":
-            t_params, t_mask = target
-            res = batched_fit(current, masks, t_params, t_mask)
-        else:
-            res = batched_fit(current, masks, target)
-        infids = np.asarray(res.infidelity)
+        infids, res_params = run_chunked(masks_np)
         ok = infids < cfg.tol
         if not ok.any():
             if verbose:
@@ -310,7 +339,7 @@ def symmetry_breaking_batched(
         best = int(np.argmin(np.where(ok, infids, np.inf)))
         idx = candidates[best]
         pruned = pruned + [idx]
-        current = jax.tree.map(lambda a: a[best], res.params)
+        current = jax.tree.map(lambda a: a[best], res_params)
         if verbose:
             print(f"  pruned core {idx} (now {len(pruned)} pruned, "
                   f"1-F={float(infids[best]):.3e}; "
@@ -336,6 +365,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     p.add_argument("--batched", action="store_true",
                    help="score all pruning candidates per round in one "
                         "vmapped fit (TPU-first; implies warm start)")
+    p.add_argument("--lane-chunk", type=int, default=8,
+                   help="max vmap lanes per device call in --batched mode "
+                        "(35-lane vmaps crashed the TPU worker in round 1)")
     p.add_argument("--cold-start", action="store_true",
                    help="fresh random init per pruning candidate "
                         "(reference behavior; default warm-starts from the "
@@ -364,6 +396,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         seed=args.seed,
         dtype=jnp.complex64 if pair_mode else getattr(jnp, args.dtype),
         complex_as_real=pair_mode,
+        lane_chunk=args.lane_chunk,
     )
     exp = make_experiment(cfg)
     key = jax.random.PRNGKey(cfg.seed)
