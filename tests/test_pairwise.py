@@ -163,3 +163,60 @@ class TestDeepNetworkStability:
         t = init_params(g, jax.random.PRNGKey(2), jnp.float32)
         gr = jax.grad(lambda a: -network_log_fidelity(g, a, t))(p)
         assert all(np.isfinite(np.asarray(v)).all() for v in gr.values())
+
+
+class TestRowScan:
+    """Row-sweep overlap (ops/row_scan.py): O(1)-size program for layered
+    2-local circuits, parity vs the dense overlap."""
+
+    def test_supports_detection(self):
+        from tneq_tpu.ops.row_scan import supports_row_scan
+
+        bw = parse_graph(incidence_to_graph(build_brick_wall_incidence(6, 4)))
+        assert supports_row_scan(bw)
+        chain = parse_graph(mps_graph(6, dim=4))
+        # chain cores span 2 adjacent rows too — supported in principle
+        assert isinstance(supports_row_scan(chain), bool)
+        # a 3-qubit gate spans more than two rows: not layered 2-local
+        wide = parse_graph("-2-A-2-\n-2-A-2-B-2-\n-2-A-2-B-2-\n-2-----B-2-")
+        assert not supports_row_scan(wide)
+
+    def test_matches_dense_complex(self):
+        from tneq_tpu.ops.row_scan import make_row_scan_log_overlap_fn
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(6, 4)))
+        p = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        t = init_params(g, jax.random.PRNGKey(1), jnp.complex64)
+        dense = make_two_network_fn(g, g, conj_target=True)
+        want = float(jnp.log(jnp.abs(dense(p, t))))
+        got = float(make_row_scan_log_overlap_fn(g)(p, t))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_gradient_parity_odd_qubits(self):
+        from tneq_tpu.ops.row_scan import make_row_scan_log_overlap_fn
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(5, 3)))
+        p = init_params(g, jax.random.PRNGKey(2), jnp.float32)
+        t = init_params(g, jax.random.PRNGKey(3), jnp.float32)
+        fn = make_row_scan_log_overlap_fn(g)
+        dense = make_two_network_fn(g, g, conj_target=True)
+        g1 = jax.grad(lambda a: fn(a, t))(p)
+        g2 = jax.grad(lambda a: jnp.log(jnp.abs(dense(a, t))))(p)
+        for n in g1:
+            np.testing.assert_allclose(
+                np.asarray(g1[n]), np.asarray(g2[n]), rtol=5e-3, atol=1e-5
+            )
+
+    def test_30q_f32_stability(self):
+        from tneq_tpu.train.network_fit import network_log_fidelity
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(30, 3)))
+        p = init_params(g, jax.random.PRNGKey(4), jnp.float32)
+        t = {
+            n: v + 0.01 * jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(5), i), v.shape
+            )
+            for i, (n, v) in enumerate(sorted(p.items()))
+        }
+        lf = float(network_log_fidelity(g, p, t))
+        assert np.isfinite(lf) and -1.0 < lf <= 1e-3, lf

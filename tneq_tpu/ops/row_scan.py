@@ -1,0 +1,306 @@
+"""Row-sweep overlap contraction: O(1)-size compiled program for layered
+2-local circuits (brick wall / wall_col).
+
+The generic rescaled pairwise executor (``ops/pairwise.py``) unrolls one
+einsum per contraction step, so its compiled program — and XLA compile time
+— grows with qubit count (318 s on CPU for the 32q×5c brick-wall fit).
+This module contracts the two-network overlap ⟨A,B⟩ as a boundary sweep
+over QUBIT ROWS instead: the environment between rows q and q+1 carries the
+row-(q+1) legs of the cores spanning that cut (size ``r^(4·n_cells)``,
+independent of n_qubits), each row is absorbed by ONE einsum, and rows with
+identical structure run under ``jax.lax.scan`` with stacked cores — the
+program size no longer depends on the qubit count, exactly like the MPS
+chain scan (``train/network_fit._chain_log_overlap``).
+
+Per-row max-abs rescaling (stop-gradient scales) keeps the sweep
+float32-stable at any depth; gradients of the LOG overlap are exact.
+
+Applies to graphs where every core spans exactly two adjacent qubit rows
+(the reference's flagship topology, ``symmetry_breaking_quantum.py:107-125``);
+``supports_row_scan`` reports applicability and callers fall back to the
+generic executor otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.dsl import CircuitGraph, get_symbol
+
+__all__ = [
+    "supports_row_scan",
+    "build_row_steps",
+    "make_row_scan_log_overlap_fn",
+]
+
+_TINY = 1e-30
+
+# env entries beyond this are refused (r^(4*n_cells) grows with depth; the
+# generic pairwise path handles deep-narrow circuits instead)
+MAX_ENV_ELEMENTS = 1 << 24
+
+
+def _core_rows(core) -> Tuple[int, ...]:
+    return tuple(sorted({e.qubit for e in core.in_edges + core.out_edges}))
+
+
+def supports_row_scan(graph: CircuitGraph) -> bool:
+    """True when every core spans exactly two ADJACENT qubit rows and the
+    cut environments stay below ``MAX_ENV_ELEMENTS``."""
+    if graph.nqubits < 3:
+        return False
+    cuts: Dict[int, List[int]] = {}
+    for core in graph.cores:
+        rows = _core_rows(core)
+        if len(rows) != 2 or rows[1] != rows[0] + 1:
+            return False
+        cuts.setdefault(rows[0], []).append(core.index)
+    # every cut q in [0, n-2] must exist (each row chain non-empty)
+    for q in range(graph.nqubits - 1):
+        if q not in cuts:
+            return False
+    # env size: product of the row-(q+1) leg ranks of cut-q cores, both
+    # networks
+    for q, idxs in cuts.items():
+        size = 1
+        for i in idxs:
+            core = graph.cores[i]
+            for e in core.in_edges + core.out_edges:
+                if e.qubit == q + 1:
+                    size *= e.rank
+        if size * size > MAX_ENV_ELEMENTS:
+            return False
+    return True
+
+
+class _Sym:
+    def __init__(self):
+        self.n = 0
+
+    def next(self) -> str:
+        s = get_symbol(self.n)
+        self.n += 1
+        return s
+
+
+def _row_order(graph: CircuitGraph, idxs: List[int], q: int) -> List[int]:
+    """Cut-q cores ordered along the row (both rows q and q+1 give the same
+    relative order; use the row-q chain)."""
+    chain = [graph.name_to_index[n] for n in graph.qubit_cores(q)]
+    pos = {i: k for k, i in enumerate(chain)}
+    return sorted(idxs, key=lambda i: pos[i])
+
+
+def build_row_steps(graph: CircuitGraph):
+    """Resolve the row sweep into per-row einsum steps.
+
+    Returns ``steps``: a list over rows q=0..n-1 of dicts with
+    ``equation`` (einsum over [env?, A-cores..., B-cores...]),
+    ``cores`` (cut-q core names in row order; empty for the last row).
+    The output axes of each step are the canonical env axis order consumed
+    by the next step.
+    """
+    n = graph.nqubits
+    cuts: Dict[int, List[int]] = {}
+    for core in graph.cores:
+        rows = _core_rows(core)
+        cuts.setdefault(rows[0], []).append(core.index)
+    cut_order = {q: _row_order(graph, idxs, q) for q, idxs in cuts.items()}
+
+    def row_edges(core, q):
+        """(in-then-out) edges of a core on row q, keeping edge-list order."""
+        return [e for e in core.in_edges if e.qubit == q] + [
+            e for e in core.out_edges if e.qubit == q
+        ]
+
+    def edge_class(net: str, core_idx: int, e, is_out: bool):
+        """Equivalence class of one edge endpoint on its row.
+
+        Boundary edges glue A↔B (class ignores net); internal bonds pair
+        the two endpoint cores within a network.
+        """
+        if e.neighbor == -1:
+            return ("bnd", e.qubit, "out" if is_out else "in")
+        a, b = sorted((core_idx, e.neighbor))
+        return ("bond", net, e.qubit, a, b)
+
+    steps = []
+    # env_axes: canonical list of (net, core_idx, edge-ref) whose symbols
+    # the NEXT step must reuse; edge-ref = (is_out, position) on row q+1
+    env_axes: List[Tuple[str, int, Tuple[bool, int]]] = []
+
+    for q in range(n):
+        sym = _Sym()
+        class_syms: Dict[object, str] = {}
+
+        def sym_for(cls):
+            if cls not in class_syms:
+                class_syms[cls] = sym.next()
+            return class_syms[cls]
+
+        # 1. symbols for incoming env axes (resolve their row-q classes)
+        env_subscript = ""
+        for net, ci, (is_out, pos) in env_axes:
+            core = graph.cores[ci]
+            edges = core.out_edges if is_out else core.in_edges
+            e = edges[pos]
+            assert e.qubit == q, (q, net, ci, e)
+            env_subscript += sym_for(edge_class(net, ci, e, is_out))
+
+        new_idxs = cut_order.get(q, [])
+        # 2. subscripts for the new (cut-q) cores, all edges
+        core_subs = {}
+        next_env: List[Tuple[str, int, Tuple[bool, int]]] = []
+        out_syms: List[str] = []
+        for net in ("A", "B"):
+            for ci in new_idxs:
+                core = graph.cores[ci]
+                sub = ""
+                for is_out, edges in ((False, core.in_edges), (True, core.out_edges)):
+                    for pos, e in enumerate(edges):
+                        if e.qubit == q:
+                            sub += sym_for(edge_class(net, ci, e, is_out))
+                        else:  # row q+1: open env leg
+                            s = sym.next()
+                            sub += s
+                            out_syms.append(s)
+                            next_env.append((net, ci, (is_out, pos)))
+                core_subs[(net, ci)] = sub
+
+        operands = []
+        if env_axes:
+            operands.append(env_subscript)
+        for net in ("A", "B"):
+            for ci in new_idxs:
+                operands.append(core_subs[(net, ci)])
+        equation = ",".join(operands) + "->" + "".join(out_syms)
+        steps.append({
+            "equation": equation,
+            "cores": [graph.cores[ci].name for ci in new_idxs],
+            "has_env": bool(env_axes),
+        })
+        env_axes = next_env
+    assert not env_axes, "sweep did not close"
+    return steps
+
+
+@lru_cache(maxsize=64)
+def _cached_steps(graph: CircuitGraph):
+    return build_row_steps(graph)
+
+
+def make_row_scan_log_overlap_fn(graph: CircuitGraph):
+    """fn(params_a, params_b) -> log|⟨A, B⟩| via the row sweep.
+
+    B-side cores are conjugated (Hermitian overlap).  Identical bulk rows
+    run as one ``lax.scan`` over stacked cores; non-periodic rows unroll.
+    Raises ``ValueError`` when the topology is unsupported
+    (check :func:`supports_row_scan` first).
+    """
+    if not supports_row_scan(graph):
+        raise ValueError("graph is not a layered 2-local circuit")
+    steps = _cached_steps(graph)
+    n = len(steps)
+
+    def rescale(v, logs):
+        s = jax.lax.stop_gradient(jnp.max(jnp.abs(v)) + _TINY)
+        return v / s, logs + jnp.log(s)
+
+    def run_step(step, env, logs, pa, pb):
+        ops = []
+        if step["has_env"]:
+            ops.append(env)
+        ops += [pa[nm] for nm in step["cores"]]
+        ops += [jnp.conj(pb[nm]) for nm in step["cores"]]
+        out = jnp.einsum(step["equation"], *ops)
+        return rescale(out, logs)
+
+    # find the periodic bulk: maximal run of interior steps where step q
+    # and step q+2 are identical in equation AND core shapes
+    def step_sig(i):
+        return (
+            steps[i]["equation"],
+            tuple(graph.shapes[nm] for nm in steps[i]["cores"]),
+        )
+
+    # scan candidate: pairs (q, q+1) for q in [start, start+2*T) with
+    # uniform pair signature
+    start = 1
+    T = 0
+    if n >= 5:
+        sig0, sig1 = step_sig(start), step_sig(start + 1)
+        q = start
+        while q + 1 <= n - 2 and step_sig(q) == sig0 and step_sig(q + 1) == sig1:
+            q += 2
+            T += 1
+        scan_end = start + 2 * T
+    else:
+        scan_end = start
+
+    def fn(params_a, params_b):
+        logs = jnp.zeros((), jnp.float32)
+        env = None
+        # row 0
+        env, logs = run_step(steps[0], None, logs, params_a, params_b)
+
+        q = 1
+        if T >= 2:
+            # stack the scan xs: per pair, cores of steps q and q+1
+            xs = []
+            for off in (0, 1):
+                for nm_i in range(len(steps[start + off]["cores"])):
+                    stackA = jnp.stack([
+                        params_a[steps[start + 2 * t + off]["cores"][nm_i]]
+                        for t in range(T)
+                    ])
+                    stackB = jnp.stack([
+                        params_b[steps[start + 2 * t + off]["cores"][nm_i]]
+                        for t in range(T)
+                    ])
+                    xs.append(stackA)
+                    xs.append(stackB)
+
+            eq0, eq1 = steps[start]["equation"], steps[start + 1]["equation"]
+            n0 = len(steps[start]["cores"])
+            n1 = len(steps[start + 1]["cores"])
+
+            def body(carry, x):
+                env, logs = carry
+                # x layout mirrors xs: [A0,B0, A1,B1, ...] for step0 cores
+                # then step1 cores
+                ops0 = [env]
+                for i in range(n0):
+                    ops0.append(x[2 * i])
+                for i in range(n0):
+                    ops0.append(jnp.conj(x[2 * i + 1]))
+                env = jnp.einsum(eq0, *ops0)
+                env, logs = rescale(env, logs)
+                base = 2 * n0
+                ops1 = [env]
+                for i in range(n1):
+                    ops1.append(x[base + 2 * i])
+                for i in range(n1):
+                    ops1.append(jnp.conj(x[base + 2 * i + 1]))
+                env = jnp.einsum(eq1, *ops1)
+                env, logs = rescale(env, logs)
+                return (env, logs), None
+
+            # reorder xs to [A0..,B0.., A1..,B1..] grouped per step for the
+            # body's indexing: build as interleaved per core (A,B) pairs
+            (env, logs), _ = jax.lax.scan(body, (env, logs), tuple(xs))
+            q = scan_end
+
+        while q < n - 1:
+            env, logs = run_step(steps[q], env, logs, params_a, params_b)
+            q += 1
+
+        # final row: scalar
+        final, logs = run_step(steps[n - 1], env, logs, params_a, params_b)
+        return logs + jnp.log(jnp.abs(final) + _TINY)
+
+    return fn

@@ -104,19 +104,31 @@ def _chain_log_overlap(a, b) -> jax.Array:
     return logs + jnp.log(jnp.abs(final) + _TINY)
 
 
+def _overlap_fn(graph: CircuitGraph):
+    """log|⟨A,B⟩| function for non-chain graphs: the row-sweep scan for
+    layered 2-local circuits (O(1)-size compiled program; ``ops/row_scan``),
+    the generic rescaled pairwise executor otherwise."""
+    from ..ops.pairwise import make_log_abs_overlap_fn
+    from ..ops.row_scan import make_row_scan_log_overlap_fn, supports_row_scan
+
+    if supports_row_scan(graph):
+        return make_row_scan_log_overlap_fn(graph)
+    return make_log_abs_overlap_fn(graph)
+
+
 def network_log_fidelity(
     graph: CircuitGraph, params, target_params
 ) -> jax.Array:
     """log F between two same-graph networks, float32-safe at large n.
 
     MPS chains contract via the rescaled transfer scan (stable at ANY
-    depth, and scan-compiled); every other topology — the flagship brick
-    wall above all — goes through the generic rescaled pairwise executor
-    (``ops/pairwise.py``), which renormalizes after every pairwise
-    contraction and is equally float32-stable at any qubit count.
+    depth, and scan-compiled); layered 2-local circuits — the flagship
+    brick wall above all — via the row-sweep scan (``ops/row_scan.py``,
+    per-row rescaling, program size independent of qubit count); anything
+    else via the generic rescaled pairwise executor (``ops/pairwise.py``).
+    All three renormalize per step and keep LOG gradients exact.
     """
     from ..ops.mps_sweep import is_mps_chain
-    from ..ops.pairwise import make_log_abs_overlap_fn
 
     p = _normalize(params)
     t = _normalize(target_params)
@@ -127,7 +139,7 @@ def network_log_fidelity(
             log_oo = _chain_log_overlap(pc, pc)
             log_tt = _chain_log_overlap(tc, tc)
             return 2.0 * log_ov - log_oo - log_tt
-    log_abs_overlap = make_log_abs_overlap_fn(graph)
+    log_abs_overlap = _overlap_fn(graph)
     log_ov = log_abs_overlap(p, t)
     log_oo = log_abs_overlap(p, p)
     log_tt = log_abs_overlap(t, t)
@@ -183,7 +195,7 @@ def make_masked_network_fidelity_fit(
 
         generic_overlap = make_pair_log_abs_overlap_fn(graph)
     elif not use_chain:
-        generic_overlap = make_log_abs_overlap_fn(graph)
+        generic_overlap = _overlap_fn(graph)
 
     def log_abs_overlap(a, b):
         """log |⟨A, B⟩| on already-normalized core dicts."""
