@@ -1,0 +1,244 @@
+"""Flagship end-to-end runs, channel-protocol safe (VERDICT r1 #3).
+
+Two configurations, each a fresh-subprocess TPU attempt with internal
+alarms (CLAUDE.md protocol: one patient first fetch, clean exits, never
+SIGKILL the tunnel):
+
+- ``8q``:  the reference ``train.py`` configuration — 8 qubits x 5 cells,
+  dense fidelity targets, Stiefel fits — run end to end (restarts and step
+  budgets configurable; defaults sized for a bench stage).
+- ``32q``: the north-star configuration the reference cannot represent —
+  32 qubits x 5 cells, network-fidelity mode (row-sweep scan overlap),
+  float32: validate a masked target and attempt one pruning round.
+- ``pair``: the COMPLEX flagship on the complex64-less TPU via the
+  stacked-real lowering (``--dtype complex64-pair`` path), 8q x 5c.
+
+Usage: ``python -m tneq_tpu.bench.flagship [--mode 8q|32q|pair] [--cpu]``
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+CHILD_BUDGET_S = 3000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+class Timeout(Exception):
+    pass
+
+
+def _alarm(seconds: int):
+    def handler(signum, frame):
+        raise Timeout()
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def _first_fetch():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0].platform
+    if dev != "cpu":
+        t0 = time.time()
+        v = float(jnp.ones((4,)).sum())
+        log(f"first fetch: {v} ({time.time() - t0:.1f}s)")
+    return dev
+
+
+def run_8q(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tneq_tpu.apps.symmetry_breaking import (
+        SymmetryBreakingConfig,
+        make_experiment,
+        symmetry_breaking_batched,
+        target_tensor_init,
+        validate_target_tensor,
+    )
+
+    pair = args.mode == "pair"
+    cfg = SymmetryBreakingConfig(
+        n_qubits=8,
+        n_cells=5,
+        dtype=jnp.complex64 if pair else jnp.float32,
+        complex_as_real=pair,
+        validate_steps=args.validate_steps,
+        prune_steps=args.prune_steps,
+        lane_chunk=args.lane_chunk,
+    )
+    exp = make_experiment(cfg)
+    target_mask = [2, 3, 5, 8, 9, 12, 13, 14, 15, 17, 18, 20, 21, 23,
+                   25, 26, 29, 31, 32, 33]
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    tries = 0
+    while True:
+        tries += 1
+        key, k1, k2 = jax.random.split(key, 3)
+        target = target_tensor_init(exp, target_mask, k1)
+        ok, fid, steps, fitted = validate_target_tensor(
+            exp, target, k2, return_params=True
+        )
+        log(f"validate try {tries}: fidelity={fid:.6f} steps={steps} ok={ok}")
+        if ok or tries >= 6:
+            break
+    validate_s = time.time() - t0
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    pruned, attempts = symmetry_breaking_batched(
+        exp, target, sub, warm_params=fitted, verbose=True
+    )
+    prune_s = time.time() - t0
+    return {
+        "config": f"{args.mode}-8q5c-{'pair' if pair else 'f32'}",
+        "validated": bool(ok),
+        "validate_fidelity": float(fid),
+        "validate_steps": int(steps),
+        "validate_s": round(validate_s, 1),
+        "pruned": len(pruned),
+        "n_cores": exp.graph.ncores,
+        "target_masked": len(target_mask),
+        "prune_attempts": attempts,
+        "prune_s": round(prune_s, 1),
+    }
+
+
+def run_32q(args) -> dict:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tneq_tpu.apps.symmetry_breaking import (
+        SymmetryBreakingConfig,
+        make_experiment,
+        target_tensor_init,
+        validate_target_tensor,
+    )
+    from tneq_tpu.bench.flops import mxu_utilization, overlap_flops
+
+    cfg = SymmetryBreakingConfig(
+        n_qubits=32,
+        n_cells=5,
+        fidelity_mode="network",
+        dtype=jnp.float32,
+        validate_steps=args.validate_steps,
+        prune_steps=args.prune_steps,
+    )
+    exp = make_experiment(cfg)
+    rng = np.random.default_rng(0)
+    target_mask = sorted(
+        rng.choice(exp.graph.ncores, size=exp.graph.ncores // 4,
+                   replace=False).tolist()
+    )
+    key = jax.random.PRNGKey(0)
+    key, k1, k2 = jax.random.split(key, 3)
+    t0 = time.time()
+    target = target_tensor_init(exp, target_mask, k1)
+    ok, fid, steps, fitted = validate_target_tensor(
+        exp, target, k2, return_params=True
+    )
+    validate_s = time.time() - t0
+    log(f"32q validate: fidelity={fid:.6f} steps={steps} ok={ok} "
+        f"({validate_s:.1f}s)")
+    # one pruning candidate from the warm start
+    t0 = time.time()
+    cand = next(i for i in range(exp.graph.ncores) if i not in target_mask)
+    res = exp.run_fit(
+        exp.prune_fit, fitted, exp.mask_vector(target_mask + [cand]), target
+    )
+    prune_infid = float(res.infidelity)
+    prune_steps_taken = int(res.steps)
+    prune_s = time.time() - t0
+    sps = (steps / validate_s) if validate_s > 0 else 0.0
+    fl = 3.0 * 2.0 * overlap_flops(exp.graph, "float32")
+    tflops = sps * fl / 1e12
+    return {
+        "config": "32q5c-network-f32",
+        "validated": bool(ok),
+        "validate_fidelity": float(fid),
+        "validate_steps": int(steps),
+        "validate_s": round(validate_s, 1),
+        "steps_per_sec": round(sps, 2),
+        "flops_per_step": fl,
+        "tflops": round(tflops, 4),
+        "mxu_util": round(mxu_utilization(tflops, "float32"), 6),
+        "prune_candidate_infid": prune_infid,
+        "prune_candidate_steps": prune_steps_taken,
+        "prune_s": round(prune_s, 1),
+    }
+
+
+def attempt(args) -> int:
+    try:
+        _alarm(CHILD_BUDGET_S)
+        dev = _first_fetch()
+        t0 = time.time()
+        rec = run_32q(args) if args.mode == "32q" else run_8q(args)
+        rec["device"] = dev
+        rec["wall_s"] = round(time.time() - t0, 1)
+        signal.alarm(0)
+    except Timeout:
+        log("flagship attempt timed out (clean exit)")
+        return 2
+    except Exception as e:
+        log(f"flagship attempt failed: {type(e).__name__}: {str(e)[:200]}")
+        return 1
+    print("RESULT " + json.dumps(rec), flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["8q", "32q", "pair"], default="32q")
+    p.add_argument("--cpu", action="store_true", help="run on the CPU backend")
+    p.add_argument("--validate-steps", type=int, default=3000)
+    p.add_argument("--prune-steps", type=int, default=2000)
+    p.add_argument("--lane-chunk", type=int, default=8)
+    p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
+    args = p.parse_args(argv)
+
+    if args.attempt:
+        if args.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        return attempt(args)
+
+    cmd = [sys.executable, "-m", "tneq_tpu.bench.flagship", "--attempt",
+           "--mode", args.mode,
+           "--validate-steps", str(args.validate_steps),
+           "--prune-steps", str(args.prune_steps),
+           "--lane-chunk", str(args.lane_chunk)]
+    if args.cpu:
+        cmd.append("--cpu")
+    env = dict(os.environ)
+    if args.cpu:
+        env["TNEQ_PLATFORM"] = "cpu"
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       timeout=CHILD_BUDGET_S + 120, env=env)
+    sys.stderr.write(r.stderr[-4000:])
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            print(line[len("RESULT "):])
+            return 0
+    print(json.dumps({"ok": False, "mode": args.mode, "rc": r.returncode}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
