@@ -159,3 +159,30 @@ class TestChainNetworkFidelity:
             if float(res.infidelity) < 1e-3:
                 break
         assert float(res.infidelity) < 1e-3
+
+
+class TestHostLoopFit:
+    """jit_scope='step' (host-driven loop) matches the whole-fit
+    while_loop program exactly."""
+
+    def test_step_scope_matches_fit_scope(self):
+        from tneq_tpu.graph import build_brick_wall_incidence, incidence_to_graph
+        from tneq_tpu.optim import sgdg
+        from tneq_tpu.train.network_fit import make_masked_network_fidelity_fit
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(6, 3)))
+        p = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        tmask = mask.at[2].set(0.0)
+        results = {}
+        for scope in ("fit", "step"):
+            fit = make_masked_network_fidelity_fit(
+                g, sgdg(1e-2, momentum=0.9, stiefel=True),
+                max_steps=80, tol=1e-3, dtype=jnp.float32, jit_scope=scope,
+            )
+            res = fit(p, mask, p, tmask)
+            results[scope] = (float(res.infidelity), int(res.steps))
+        np.testing.assert_allclose(
+            results["fit"][0], results["step"][0], rtol=1e-4, atol=1e-6
+        )
+        assert results["fit"][1] == results["step"][1]

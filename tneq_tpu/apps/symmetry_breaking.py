@@ -65,6 +65,10 @@ class SymmetryBreakingConfig:
     # ("kernel fault", docs/ROUND1.md); chunking keeps each call small and
     # pads the tail chunk so every call reuses ONE compiled program
     lane_chunk: int = 8
+    # network-mode fits: 'fit' compiles the whole while_loop; 'step'
+    # compiles only the per-step program and loops on the host (for
+    # compilers that cannot hold the full fit program)
+    fit_jit_scope: str = "fit"
     prune_lr: float = 1e-2
     prune_steps: int = 5000
     momentum: float = 0.9
@@ -87,9 +91,13 @@ class Experiment:
         )
         self.graph: CircuitGraph = parse_graph(incidence_to_graph(self.incidence))
         if cfg.fidelity_mode == "network":
+            from functools import partial
+
             from ..train.network_fit import make_masked_network_fidelity_fit
 
-            make_fit = make_masked_network_fidelity_fit
+            make_fit = partial(
+                make_masked_network_fidelity_fit, jit_scope=cfg.fit_jit_scope
+            )
         elif cfg.fidelity_mode == "dense":
             make_fit = make_masked_fidelity_fit
         else:

@@ -160,6 +160,7 @@ def make_masked_network_fidelity_fit(
     tol: float = 1e-3,
     dtype=jnp.complex64,
     complex_as_real: bool = False,
+    jit_scope: str = "fit",
 ) -> Callable:
     """Build ``fit(params, mask, target_params, target_mask) -> FitResult``.
 
@@ -229,6 +230,45 @@ def make_masked_network_fidelity_fit(
                  - log_abs_overlap(eff, eff) - log_tt)
 
     grad_fn = jax.value_and_grad(neg_log_f)
+
+    if jit_scope not in ("fit", "step"):
+        raise ValueError(f"jit_scope must be 'fit' or 'step', got {jit_scope!r}")
+
+    if jit_scope == "step":
+        # Host-driven loop: only the per-step program is compiled (grad +
+        # optimizer update), the while loop and early exit run in Python.
+        # Use when the whole-fit while_loop program is too large for the
+        # compiler (the axon tunnel's remote compile helper has been
+        # OOM-killed on full 32q5c fit programs); costs one device-host
+        # sync per step.
+        @jax.jit
+        def prepare(target_params, target_mask):
+            with jax.default_matmul_precision("highest"):
+                target_eff_n = _normalize(effective(target_params, target_mask))
+                return target_eff_n, log_abs_overlap(target_eff_n, target_eff_n)
+
+        @jax.jit
+        def one_step(params, opt_state, mask, target_eff_n, log_tt):
+            with jax.default_matmul_precision("highest"):
+                nlf, grads = grad_fn(params, mask, target_eff_n, log_tt)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, nlf
+
+        def fit_host(params, mask, target_params, target_mask) -> FitResult:
+            target_eff_n, log_tt = prepare(target_params, target_mask)
+            opt_state = optimizer.init(params)
+            nlf = jnp.full((), 1e9)
+            steps = 0
+            while steps < max_steps and float(nlf) > -log_tol:
+                params, opt_state, nlf = one_step(
+                    params, opt_state, mask, target_eff_n, log_tt
+                )
+                steps += 1
+            infid = -jnp.expm1(-nlf)
+            return FitResult(params, infid, jnp.asarray(steps), opt_state)
+
+        return fit_host
 
     @jax.jit
     def fit(params, mask, target_params, target_mask) -> FitResult:
