@@ -179,10 +179,24 @@ def build_row_steps(graph: CircuitGraph):
             for ci in new_idxs:
                 operands.append(core_subs[(net, ci)])
         equation = ",".join(operands) + "->" + "".join(out_syms)
+
+        def _axis_rank(net, ci, ref):
+            is_out, pos = ref
+            core = graph.cores[ci]
+            return (core.out_edges if is_out else core.in_edges)[pos].rank
+
+        in_shape = tuple(_axis_rank(*ax) for ax in env_axes)
+        out_shape = tuple(_axis_rank(*ax) for ax in next_env)
         steps.append({
             "equation": equation,
             "cores": [graph.cores[ci].name for ci in new_idxs],
             "has_env": bool(env_axes),
+            # the env is CARRIED FLAT between steps: a multi-axis tensor of
+            # tiny dims pads ~8x under TPU (8,128) tiling — enough to OOM
+            # the 32q fit's saved scan carries.  Reshape to the multi-leg
+            # view only inside the step.
+            "env_in_shape": in_shape,
+            "env_out_shape": out_shape,
         })
         env_axes = next_env
     assert not env_axes, "sweep did not close"
@@ -214,10 +228,11 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
     def run_step(step, env, logs, pa, pb):
         ops = []
         if step["has_env"]:
-            ops.append(env)
+            ops.append(env.reshape(step["env_in_shape"]))
         ops += [pa[nm] for nm in step["cores"]]
         ops += [jnp.conj(pb[nm]) for nm in step["cores"]]
         out = jnp.einsum(step["equation"], *ops)
+        out = out.reshape((-1,) if step["env_out_shape"] else ())
         return rescale(out, logs)
 
     # find the periodic bulk: maximal run of interior steps where step q
@@ -269,24 +284,27 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
             n0 = len(steps[start]["cores"])
             n1 = len(steps[start + 1]["cores"])
 
+            shape0 = steps[start]["env_in_shape"]
+            shape1 = steps[start + 1]["env_in_shape"]
+
             def body(carry, x):
                 env, logs = carry
                 # x layout mirrors xs: [A0,B0, A1,B1, ...] for step0 cores
-                # then step1 cores
-                ops0 = [env]
+                # then step1 cores; env flat in the carry (layout padding)
+                ops0 = [env.reshape(shape0)]
                 for i in range(n0):
                     ops0.append(x[2 * i])
                 for i in range(n0):
                     ops0.append(jnp.conj(x[2 * i + 1]))
-                env = jnp.einsum(eq0, *ops0)
+                env = jnp.einsum(eq0, *ops0).reshape(-1)
                 env, logs = rescale(env, logs)
                 base = 2 * n0
-                ops1 = [env]
+                ops1 = [env.reshape(shape1)]
                 for i in range(n1):
                     ops1.append(x[base + 2 * i])
                 for i in range(n1):
                     ops1.append(jnp.conj(x[base + 2 * i + 1]))
-                env = jnp.einsum(eq1, *ops1)
+                env = jnp.einsum(eq1, *ops1).reshape(-1)
                 env, logs = rescale(env, logs)
                 return (env, logs), None
 
