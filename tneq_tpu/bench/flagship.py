@@ -131,15 +131,19 @@ def run_32q(args) -> dict:
     )
     from tneq_tpu.bench.flops import mxu_utilization, overlap_flops
 
-    cfg = SymmetryBreakingConfig(
-        n_qubits=32,
-        n_cells=5,
-        fidelity_mode="network",
-        dtype=jnp.float32,
-        validate_steps=args.validate_steps,
-        prune_steps=args.prune_steps,
-    )
-    exp = make_experiment(cfg)
+    def build(scope):
+        cfg = SymmetryBreakingConfig(
+            n_qubits=32,
+            n_cells=5,
+            fidelity_mode="network",
+            dtype=jnp.float32,
+            validate_steps=args.validate_steps,
+            prune_steps=args.prune_steps,
+            fit_jit_scope=scope,
+        )
+        return make_experiment(cfg)
+
+    exp = build(args.jit_scope)
     rng = np.random.default_rng(0)
     target_mask = sorted(
         rng.choice(exp.graph.ncores, size=exp.graph.ncores // 4,
@@ -149,9 +153,23 @@ def run_32q(args) -> dict:
     key, k1, k2 = jax.random.split(key, 3)
     t0 = time.time()
     target = target_tensor_init(exp, target_mask, k1)
-    ok, fid, steps, fitted = validate_target_tensor(
-        exp, target, k2, return_params=True
-    )
+    scope = args.jit_scope
+    try:
+        ok, fid, steps, fitted = validate_target_tensor(
+            exp, target, k2, return_params=True
+        )
+    except Exception as e:
+        if scope == "step":
+            raise
+        # the whole-fit while_loop program can exceed the remote
+        # compiler / HBM; retry with the host-driven per-step program
+        log(f"whole-fit program failed ({type(e).__name__}); "
+            f"retrying with jit_scope='step'")
+        scope = "step"
+        exp = build(scope)
+        ok, fid, steps, fitted = validate_target_tensor(
+            exp, target, k2, return_params=True
+        )
     validate_s = time.time() - t0
     log(f"32q validate: fidelity={fid:.6f} steps={steps} ok={ok} "
         f"({validate_s:.1f}s)")
@@ -169,6 +187,7 @@ def run_32q(args) -> dict:
     tflops = sps * fl / 1e12
     return {
         "config": "32q5c-network-f32",
+        "jit_scope": scope,
         "validated": bool(ok),
         "validate_fidelity": float(fid),
         "validate_steps": int(steps),
@@ -209,6 +228,7 @@ def main(argv=None) -> int:
     p.add_argument("--validate-steps", type=int, default=3000)
     p.add_argument("--prune-steps", type=int, default=2000)
     p.add_argument("--lane-chunk", type=int, default=8)
+    p.add_argument("--jit-scope", choices=["fit", "step"], default="fit")
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
@@ -223,7 +243,8 @@ def main(argv=None) -> int:
            "--mode", args.mode,
            "--validate-steps", str(args.validate_steps),
            "--prune-steps", str(args.prune_steps),
-           "--lane-chunk", str(args.lane_chunk)]
+           "--lane-chunk", str(args.lane_chunk),
+           "--jit-scope", args.jit_scope]
     if args.cpu:
         cmd.append("--cpu")
     env = dict(os.environ)
