@@ -495,6 +495,26 @@ def stage_fsdp_memory(
     return rec
 
 
+def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
+    """Flagship 32q x 5c network-mode run via the channel-protocol-safe
+    subprocess runner (``bench/flagship.py``).  Long: select explicitly
+    (``--stages 9 --timeout 3200``)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tneq_tpu.bench.flagship", "--mode", "32q",
+         "--validate-steps", str(validate_steps), "--prune-steps", "500"],
+        capture_output=True, text=True, timeout=3200,
+    )
+    import json as _json
+
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+    rec = _json.loads(line)
+    rec["stage"] = "flagship_32q"
+    return rec
+
+
 ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "1_env_audit": stage_env_audit,
     "2_matmul_peak": stage_matmul_peak,
@@ -507,4 +527,5 @@ ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "7_large_network": stage_large_network,
     "7b_bond_sweep": stage_bond_sweep,
     "8_fsdp_memory": stage_fsdp_memory,
+    "9_flagship_32q": stage_flagship_32q,
 }
