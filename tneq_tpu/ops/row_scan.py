@@ -225,13 +225,55 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
         s = jax.lax.stop_gradient(jnp.max(jnp.abs(v)) + _TINY)
         return v / s, logs + jnp.log(s)
 
+    def _resolved(step):
+        """Pairwise plan for one row einsum with a TIGHT memory guard.
+
+        jnp.einsum's default greedy path on the ~11-operand row equation
+        can materialize intermediates hundreds of times the environment
+        size (a 27 GB HBM blow-up observed on the 32q fit); the native
+        exact-DP search under a cap bounded by a small multiple of the
+        environment keeps every intermediate MXU-sized.
+        """
+        from .pairwise import choose_path, pairwise_steps
+
+        shapes = []
+        if step["has_env"]:
+            shapes.append(step["env_in_shape"])
+        for nm in step["cores"]:
+            shapes.append(graph.shapes[nm])
+        for nm in step["cores"]:
+            shapes.append(graph.shapes[nm])
+        if len(shapes) <= 2:
+            # 1-operand (final self-glue trace) or trivial 2-operand step:
+            # direct einsum, nothing to plan
+            return None
+        env_sz = max(
+            int(np.prod(step["env_in_shape"], dtype=np.int64))
+            if step["env_in_shape"] else 1,
+            int(np.prod(step["env_out_shape"], dtype=np.int64))
+            if step["env_out_shape"] else 1,
+        )
+        cap = max(64 * env_sz, 1 << 16)
+        path = choose_path(step["equation"], tuple(shapes), cap)
+        return pairwise_steps(step["equation"], list(path))
+
+    for s in steps:
+        s["plan"] = _resolved(s)
+
+    def _contract(step, ops):
+        if step["plan"] is None:
+            return jnp.einsum(step["equation"], *ops)
+        from .pairwise import execute_pairwise
+
+        return execute_pairwise(step["plan"], ops)
+
     def run_step(step, env, logs, pa, pb):
         ops = []
         if step["has_env"]:
             ops.append(env.reshape(step["env_in_shape"]))
         ops += [pa[nm] for nm in step["cores"]]
         ops += [jnp.conj(pb[nm]) for nm in step["cores"]]
-        out = jnp.einsum(step["equation"], *ops)
+        out = _contract(step, ops)
         out = out.reshape((-1,) if step["env_out_shape"] else ())
         return rescale(out, logs)
 
@@ -280,12 +322,11 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
                     xs.append(stackA)
                     xs.append(stackB)
 
-            eq0, eq1 = steps[start]["equation"], steps[start + 1]["equation"]
-            n0 = len(steps[start]["cores"])
-            n1 = len(steps[start + 1]["cores"])
-
-            shape0 = steps[start]["env_in_shape"]
-            shape1 = steps[start + 1]["env_in_shape"]
+            step0, step1 = steps[start], steps[start + 1]
+            n0 = len(step0["cores"])
+            n1 = len(step1["cores"])
+            shape0 = step0["env_in_shape"]
+            shape1 = step1["env_in_shape"]
 
             def body(carry, x):
                 env, logs = carry
@@ -296,7 +337,7 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
                     ops0.append(x[2 * i])
                 for i in range(n0):
                     ops0.append(jnp.conj(x[2 * i + 1]))
-                env = jnp.einsum(eq0, *ops0).reshape(-1)
+                env = _contract(step0, ops0).reshape(-1)
                 env, logs = rescale(env, logs)
                 base = 2 * n0
                 ops1 = [env.reshape(shape1)]
@@ -304,7 +345,7 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
                     ops1.append(x[base + 2 * i])
                 for i in range(n1):
                     ops1.append(jnp.conj(x[base + 2 * i + 1]))
-                env = jnp.einsum(eq1, *ops1).reshape(-1)
+                env = _contract(step1, ops1).reshape(-1)
                 env, logs = rescale(env, logs)
                 return (env, logs), None
 
