@@ -228,7 +228,8 @@ def main(argv=None) -> int:
     p.add_argument("--validate-steps", type=int, default=3000)
     p.add_argument("--prune-steps", type=int, default=2000)
     p.add_argument("--lane-chunk", type=int, default=8)
-    p.add_argument("--jit-scope", choices=["fit", "step"], default="fit")
+    p.add_argument("--jit-scope", choices=["fit", "step"], default="step",
+               help="32q network fits: 'fit' compiles the whole while_loop (crashes this tunnel's TPU worker at 32q — kernel fault); 'step' drives the loop from the host")
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 

@@ -208,22 +208,47 @@ def _cached_steps(graph: CircuitGraph):
     return build_row_steps(graph)
 
 
-def make_row_scan_log_overlap_fn(graph: CircuitGraph):
+def make_row_scan_log_overlap_fn(graph: CircuitGraph, batch=None):
     """fn(params_a, params_b) -> log|⟨A, B⟩| via the row sweep.
 
     B-side cores are conjugated (Hermitian overlap).  Identical bulk rows
     run as one ``lax.scan`` over stacked cores; non-periodic rows unroll.
     Raises ``ValueError`` when the topology is unsupported
     (check :func:`supports_row_scan` first).
+
+    ``batch=B``: every core carries a leading batch axis of size B and the
+    result is a ``[B]`` vector of log-overlaps.  The fidelity's 3 overlaps
+    (and the masked fit's 2) share one sweep structure, so batching them
+    cuts kernel launches ~Bx — the sweep's narrow contractions are
+    latency-bound on the device.  Rescaling is per batch element.
     """
     if not supports_row_scan(graph):
         raise ValueError("graph is not a layered 2-local circuit")
     steps = _cached_steps(graph)
     n = len(steps)
 
-    def rescale(v, logs):
-        s = jax.lax.stop_gradient(jnp.max(jnp.abs(v)) + _TINY)
-        return v / s, logs + jnp.log(s)
+    if batch is None:
+        def rescale(v, logs):
+            s = jax.lax.stop_gradient(jnp.max(jnp.abs(v)) + _TINY)
+            return v / s, logs + jnp.log(s)
+    else:
+        def rescale(v, logs):
+            red = tuple(range(1, v.ndim))
+            s = jax.lax.stop_gradient(
+                jnp.max(jnp.abs(v), axis=red, keepdims=True) + _TINY
+            )
+            return v / s, logs + jnp.log(s).reshape(batch)
+
+    def _batched_eq(equation):
+        """Prefix a fresh batch symbol to every operand and the output."""
+        used = set(equation)
+        k = 300
+        while get_symbol(k) in used:
+            k += 1
+        bsym = get_symbol(k)
+        lhs, rhs = equation.split("->")
+        subs = [bsym + t for t in lhs.split(",")]
+        return ",".join(subs) + "->" + bsym + rhs
 
     def _resolved(step):
         """Pairwise plan for one row einsum with a TIGHT memory guard.
@@ -254,46 +279,63 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
             if step["env_out_shape"] else 1,
         )
         cap = max(64 * env_sz, 1 << 16)
-        path = choose_path(step["equation"], tuple(shapes), cap)
-        return pairwise_steps(step["equation"], list(path))
+        eq = step["equation"]
+        if batch is not None:
+            eq = _batched_eq(eq)
+            shapes = [(batch,) + tuple(sh) for sh in shapes]
+            cap *= batch
+        path = choose_path(eq, tuple(shapes), cap)
+        return eq, pairwise_steps(eq, list(path))
 
+    plan_key = ("plan", batch)
     for s in steps:
-        s["plan"] = _resolved(s)
+        if plan_key not in s:
+            s[plan_key] = _resolved(s)
 
     def _contract(step, ops):
-        if step["plan"] is None:
-            return jnp.einsum(step["equation"], *ops)
+        if step[plan_key] is None:
+            eq = step["equation"]
+            if batch is not None:
+                eq = _batched_eq(eq)
+            return jnp.einsum(eq, *ops)
         from .pairwise import execute_pairwise
 
-        return execute_pairwise(step["plan"], ops)
+        eq, plan = step[plan_key]
+        return execute_pairwise(plan, ops)
 
     # Rematerialize every row step: the backward pass otherwise SAVES the
     # multi-axis intermediates (tiny-dim tensors pad up to 64x under TPU
     # tiling — observed 960MB per saved scan residual at 32q).  With
     # checkpoint, only the flat env carries are stored and the step
     # recomputes in backward (~1.3x flops for ~50x less HBM).
+    lead = () if batch is None else (batch,)
+
     def _make_step_fn(step):
         def f(env, logs, cores_a, cores_b):
             ops = []
             if step["has_env"]:
-                ops.append(env.reshape(step["env_in_shape"]))
+                ops.append(env.reshape(lead + step["env_in_shape"]))
             ops += list(cores_a)
             ops += [jnp.conj(b) for b in cores_b]
             out = _contract(step, ops)
-            out = out.reshape((-1,) if step["env_out_shape"] else ())
+            out = out.reshape(
+                lead + ((-1,) if step["env_out_shape"] else ())
+            )
             return rescale(out, logs)
 
         return jax.checkpoint(f)
 
+    fn_key = ("fn", batch)
     for s in steps:
-        s["fn"] = _make_step_fn(s)
+        if fn_key not in s:
+            s[fn_key] = _make_step_fn(s)
 
     def run_step(step, env, logs, pa, pb):
         cores_a = tuple(pa[nm] for nm in step["cores"])
         cores_b = tuple(pb[nm] for nm in step["cores"])
         if env is None:
-            env = jnp.zeros((1,), jnp.float32)  # placeholder, unused
-        return step["fn"](env, logs, cores_a, cores_b)
+            env = jnp.zeros(lead + (1,), jnp.float32)  # placeholder, unused
+        return step[fn_key](env, logs, cores_a, cores_b)
 
     # find the periodic bulk: maximal run of interior steps where step q
     # and step q+2 are identical in equation AND core shapes
@@ -318,7 +360,7 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
         scan_end = start
 
     def fn(params_a, params_b):
-        logs = jnp.zeros((), jnp.float32)
+        logs = jnp.zeros(lead, jnp.float32)
         env = None
         # row 0
         env, logs = run_step(steps[0], None, logs, params_a, params_b)
@@ -350,20 +392,20 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph):
                 env, logs = carry
                 # x layout mirrors xs: [A0,B0, A1,B1, ...] for step0 cores
                 # then step1 cores; env flat in the carry (layout padding)
-                ops0 = [env.reshape(shape0)]
+                ops0 = [env.reshape(lead + shape0)]
                 for i in range(n0):
                     ops0.append(x[2 * i])
                 for i in range(n0):
                     ops0.append(jnp.conj(x[2 * i + 1]))
-                env = _contract(step0, ops0).reshape(-1)
+                env = _contract(step0, ops0).reshape(lead + (-1,))
                 env, logs = rescale(env, logs)
                 base = 2 * n0
-                ops1 = [env.reshape(shape1)]
+                ops1 = [env.reshape(lead + shape1)]
                 for i in range(n1):
                     ops1.append(x[base + 2 * i])
                 for i in range(n1):
                     ops1.append(jnp.conj(x[base + 2 * i + 1]))
-                env = _contract(step1, ops1).reshape(-1)
+                env = _contract(step1, ops1).reshape(lead + (-1,))
                 env, logs = rescale(env, logs)
                 return (env, logs), None
 
