@@ -139,16 +139,11 @@ def network_log_fidelity(
             log_oo = _chain_log_overlap(pc, pc)
             log_tt = _chain_log_overlap(tc, tc)
             return 2.0 * log_ov - log_oo - log_tt
-    from ..ops.row_scan import make_row_scan_log_overlap_fn, supports_row_scan
-
-    if supports_row_scan(graph):
-        # one batched sweep computes all 3 overlaps (~3x fewer kernel
-        # launches on the latency-bound row steps)
-        fn3 = make_row_scan_log_overlap_fn(graph, batch=3)
-        a3 = {n: jnp.stack([p[n], p[n], t[n]]) for n in p}
-        b3 = {n: jnp.stack([t[n], p[n], t[n]]) for n in p}
-        logs = fn3(a3, b3)
-        return 2.0 * logs[0] - logs[1] - logs[2]
+    # note: a batched sweep (one batch=3 call for ov/oo/tt) was measured
+    # SLOWER than three separate sweeps on both CPU (2.7x) and the tunnel
+    # TPU (1.8x) — the batched pairwise plans lower worse than the plain
+    # ones — so the separate-call form stays (batch support remains in
+    # ops/row_scan for future use)
     log_abs_overlap = _overlap_fn(graph)
     log_ov = log_abs_overlap(p, t)
     log_oo = log_abs_overlap(p, p)
@@ -234,28 +229,10 @@ def make_masked_network_fidelity_fit(
             for i, n in enumerate(names)
         }
 
-    from ..ops.row_scan import supports_row_scan
-
-    use_batched_rows = (
-        not use_chain and not complex_as_real and supports_row_scan(graph)
-    )
-    if use_batched_rows:
-        from ..ops.row_scan import make_row_scan_log_overlap_fn
-
-        fn2 = make_row_scan_log_overlap_fn(graph, batch=2)
-
-        def neg_log_f(params, mask, target_eff_n, log_tt):
-            eff = _normalize(effective(params, mask))
-            a2 = {n: jnp.stack([eff[n], eff[n]]) for n in eff}
-            b2 = {n: jnp.stack([target_eff_n[n], eff[n]]) for n in eff}
-            logs = fn2(a2, b2)  # [⟨eff,target⟩, ⟨eff,eff⟩] in one sweep
-            return -(2.0 * logs[0] - logs[1] - log_tt)
-
-    else:
-        def neg_log_f(params, mask, target_eff_n, log_tt):
-            eff = _normalize(effective(params, mask))
-            return -(2.0 * log_abs_overlap(eff, target_eff_n)
-                     - log_abs_overlap(eff, eff) - log_tt)
+    def neg_log_f(params, mask, target_eff_n, log_tt):
+        eff = _normalize(effective(params, mask))
+        return -(2.0 * log_abs_overlap(eff, target_eff_n)
+                 - log_abs_overlap(eff, eff) - log_tt)
 
     grad_fn = jax.value_and_grad(neg_log_f)
 
