@@ -192,7 +192,12 @@ def target_tensor_init(
         + (1 - mask[i]).astype(cast) * idents[n]
         for i, n in enumerate(exp.graph.core_names)
     }
-    return core_fn(eff)
+    # full-precision target contraction: at the TPU default (bf16 matmul
+    # passes) the dense target carries ~3e-3 error, which caps the
+    # achievable fidelity ABOVE the 1e-3 validation tolerance — the fits
+    # then never validate on TPU while converging fine on CPU
+    with jax.default_matmul_precision("highest"):
+        return core_fn(eff)
 
 
 def validate_target_tensor(

@@ -65,6 +65,7 @@ def run_8q(args) -> dict:
     from tneq_tpu.apps.symmetry_breaking import (
         SymmetryBreakingConfig,
         make_experiment,
+        symmetry_breaking,
         symmetry_breaking_batched,
         target_tensor_init,
         validate_target_tensor,
@@ -99,9 +100,16 @@ def run_8q(args) -> dict:
     validate_s = time.time() - t0
     t0 = time.time()
     key, sub = jax.random.split(key)
-    pruned, attempts = symmetry_breaking_batched(
-        exp, target, sub, warm_params=fitted, verbose=True
-    )
+    if args.batched:
+        # vmapped lanes: an 8-lane vmap of the while_loop fit has crashed
+        # this tunnel's TPU worker (kernel fault) — opt-in only
+        pruned, attempts = symmetry_breaking_batched(
+            exp, target, sub, warm_params=fitted, verbose=True
+        )
+    else:
+        pruned, attempts = symmetry_breaking(
+            exp, target, sub, warm_params=fitted, verbose=True
+        )
     prune_s = time.time() - t0
     return {
         "config": f"{args.mode}-8q5c-{'pair' if pair else 'f32'}",
@@ -228,6 +236,9 @@ def main(argv=None) -> int:
     p.add_argument("--validate-steps", type=int, default=3000)
     p.add_argument("--prune-steps", type=int, default=2000)
     p.add_argument("--lane-chunk", type=int, default=8)
+    p.add_argument("--batched", action="store_true",
+                   help="vmapped candidate lanes (crashes this tunnel's "
+                        "TPU worker; fine on CPU)")
     p.add_argument("--jit-scope", choices=["fit", "step"], default="step",
                help="32q network fits: 'fit' compiles the whole while_loop (crashes this tunnel's TPU worker at 32q — kernel fault); 'step' drives the loop from the host")
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
@@ -245,7 +256,8 @@ def main(argv=None) -> int:
            "--validate-steps", str(args.validate_steps),
            "--prune-steps", str(args.prune_steps),
            "--lane-chunk", str(args.lane_chunk),
-           "--jit-scope", args.jit_scope]
+           "--jit-scope", args.jit_scope] + (
+               ["--batched"] if args.batched else [])
     if args.cpu:
         cmd.append("--cpu")
     env = dict(os.environ)
