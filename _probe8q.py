@@ -4,7 +4,13 @@ def bail(sig, frm):
 signal.signal(signal.SIGALRM, bail)
 signal.alarm(2400)
 import jax, jax.numpy as jnp, numpy as np
-t0=time.time(); v=float(jnp.ones((2,)).sum()); print(f"fetch {v} ({time.time()-t0:.0f}s)", flush=True)
+if "cpu" in sys.argv:
+    # BEFORE any jax op: backends are cached after first use, so a fetch
+    # here would pin the axon backend for the whole process
+    jax.config.update("jax_platforms", "cpu")
+    print("platform: cpu", flush=True)
+else:
+    t0=time.time(); v=float(jnp.ones((2,)).sum()); print(f"fetch {v} ({time.time()-t0:.0f}s)", flush=True)
 from tneq_tpu.apps.symmetry_breaking import (SymmetryBreakingConfig, make_experiment,
     target_tensor_init, validate_target_tensor)
 import sys as _sys

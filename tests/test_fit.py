@@ -142,3 +142,35 @@ class TestBatchedSweep:
             exp, target, sub, warm_params=fitted, verbose=False
         )
         assert len(pruned) >= 2  # at least the two planted cores' worth
+
+
+class TestDenseHostLoop:
+    def test_step_scope_matches_fit_scope(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tneq_tpu.graph import build_brick_wall_incidence, incidence_to_graph, parse_graph
+        from tneq_tpu.model.qctn import init_params
+        from tneq_tpu.ops.contract import contract_cores
+        from tneq_tpu.optim import sgdg
+        from tneq_tpu.train.fit import make_masked_fidelity_fit
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(4, 2)))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        target = contract_cores(
+            g, init_params(g, jax.random.PRNGKey(1), jnp.complex64)
+        )
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        results = {}
+        for scope in ("fit", "step"):
+            fit = make_masked_fidelity_fit(
+                g, sgdg(0.1, momentum=0.9, stiefel=True),
+                max_steps=60, tol=1e-3, jit_scope=scope,
+            )
+            res = fit(params, mask, target)
+            results[scope] = (float(res.infidelity), int(res.steps))
+        np.testing.assert_allclose(
+            results["fit"][0], results["step"][0], rtol=1e-4, atol=1e-6
+        )
+        assert results["fit"][1] == results["step"][1]

@@ -99,7 +99,11 @@ class Experiment:
                 make_masked_network_fidelity_fit, jit_scope=cfg.fit_jit_scope
             )
         elif cfg.fidelity_mode == "dense":
-            make_fit = make_masked_fidelity_fit
+            from functools import partial
+
+            make_fit = partial(
+                make_masked_fidelity_fit, jit_scope=cfg.fit_jit_scope
+            )
         else:
             raise ValueError(f"unknown fidelity_mode {cfg.fidelity_mode!r}")
         if cfg.complex_as_real:

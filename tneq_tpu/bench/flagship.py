@@ -80,6 +80,7 @@ def run_8q(args) -> dict:
         validate_steps=args.validate_steps,
         prune_steps=args.prune_steps,
         lane_chunk=args.lane_chunk,
+        fit_jit_scope=args.jit_scope,
     )
     exp = make_experiment(cfg)
     target_mask = [2, 3, 5, 8, 9, 12, 13, 14, 15, 17, 18, 20, 21, 23,

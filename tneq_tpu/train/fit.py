@@ -83,6 +83,7 @@ def make_masked_fidelity_fit(
     order: str = "reference",
     loss_kind: str = "raw",
     complex_as_real: bool = False,
+    jit_scope: str = "fit",
 ) -> Callable:
     """Build ``fit(params, mask, target) -> FitResult``, fully jitted.
 
@@ -130,6 +131,34 @@ def make_masked_fidelity_fit(
         return 1.0 - fid, 1.0 - fid
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if jit_scope not in ("fit", "step"):
+        raise ValueError(f"jit_scope must be 'fit' or 'step', got {jit_scope!r}")
+
+    if jit_scope == "step":
+        # host-driven loop: only the per-step program is compiled (see
+        # train/network_fit.py — used where the whole-fit while_loop
+        # program crashes or overflows a constrained compiler/device)
+        @jax.jit
+        def one_step(params, opt_state, mask, target):
+            with jax.default_matmul_precision("highest"):
+                (_, infid), grads = grad_fn(params, mask, target)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, infid
+
+        def fit_host(params, mask, target) -> FitResult:
+            opt_state = optimizer.init(params)
+            infid = jnp.ones(())
+            steps = 0
+            while steps < max_steps and float(infid) >= tol:
+                params, opt_state, infid = one_step(
+                    params, opt_state, mask, target
+                )
+                steps += 1
+            return FitResult(params, infid, jnp.asarray(steps), opt_state)
+
+        return fit_host
 
     @jax.jit
     def fit(params, mask, target) -> FitResult:
