@@ -15,10 +15,13 @@ from tneq_tpu.apps.symmetry_breaking import (SymmetryBreakingConfig, make_experi
     target_tensor_init, validate_target_tensor)
 import sys as _sys
 pair = "pair" in _sys.argv
+scope = "step" if "step" in _sys.argv else "fit"
 cfg = SymmetryBreakingConfig(n_qubits=8, n_cells=5,
                              dtype=jnp.complex64 if pair else jnp.float32,
                              complex_as_real=pair,
-                             validate_steps=4000)
+                             validate_steps=1500 if pair else 4000,
+                             fit_jit_scope=scope)
+print("scope:", scope, flush=True)
 print("mode:", "pair" if pair else "f32", flush=True)
 exp = make_experiment(cfg)
 tm = [2,3,5,8,9,12,13,14,15,17,18,20,21,23,25,26,29,31,32,33]

@@ -81,6 +81,7 @@ def run_8q(args) -> dict:
         prune_steps=args.prune_steps,
         lane_chunk=args.lane_chunk,
         fit_jit_scope=args.jit_scope,
+        max_outer_iterations=args.max_outer,
     )
     exp = make_experiment(cfg)
     target_mask = [2, 3, 5, 8, 9, 12, 13, 14, 15, 17, 18, 20, 21, 23,
@@ -240,6 +241,9 @@ def main(argv=None) -> int:
     p.add_argument("--batched", action="store_true",
                    help="vmapped candidate lanes (crashes this tunnel's "
                         "TPU worker; fine on CPU)")
+    p.add_argument("--max-outer", type=int, default=1,
+                   help="outer pruning passes (reference: 500; 1 bounds "
+                        "the bench stage)")
     p.add_argument("--jit-scope", choices=["fit", "step"], default="step",
                help="32q network fits: 'fit' compiles the whole while_loop (crashes this tunnel's TPU worker at 32q — kernel fault); 'step' drives the loop from the host")
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
@@ -257,6 +261,7 @@ def main(argv=None) -> int:
            "--validate-steps", str(args.validate_steps),
            "--prune-steps", str(args.prune_steps),
            "--lane-chunk", str(args.lane_chunk),
+           "--max-outer", str(args.max_outer),
            "--jit-scope", args.jit_scope] + (
                ["--batched"] if args.batched else [])
     if args.cpu:
