@@ -69,6 +69,9 @@ class SymmetryBreakingConfig:
     # compiles only the per-step program and loops on the host (for
     # compilers that cannot hold the full fit program)
     fit_jit_scope: str = "fit"
+    # with jit_scope='step': dispatch this many async steps per
+    # early-exit fetch (pipelines steps over a remote device)
+    fit_sync_every: int = 1
     prune_lr: float = 1e-2
     prune_steps: int = 5000
     momentum: float = 0.9
@@ -96,13 +99,17 @@ class Experiment:
             from ..train.network_fit import make_masked_network_fidelity_fit
 
             make_fit = partial(
-                make_masked_network_fidelity_fit, jit_scope=cfg.fit_jit_scope
+                make_masked_network_fidelity_fit,
+                jit_scope=cfg.fit_jit_scope,
+                sync_every=cfg.fit_sync_every,
             )
         elif cfg.fidelity_mode == "dense":
             from functools import partial
 
             make_fit = partial(
-                make_masked_fidelity_fit, jit_scope=cfg.fit_jit_scope
+                make_masked_fidelity_fit,
+                jit_scope=cfg.fit_jit_scope,
+                sync_every=cfg.fit_sync_every,
             )
         else:
             raise ValueError(f"unknown fidelity_mode {cfg.fidelity_mode!r}")

@@ -81,6 +81,7 @@ def run_8q(args) -> dict:
         prune_steps=args.prune_steps,
         lane_chunk=args.lane_chunk,
         fit_jit_scope=args.jit_scope,
+        fit_sync_every=args.sync_every,
         max_outer_iterations=args.max_outer,
     )
     exp = make_experiment(cfg)
@@ -150,6 +151,7 @@ def run_32q(args) -> dict:
             validate_steps=args.validate_steps,
             prune_steps=args.prune_steps,
             fit_jit_scope=scope,
+            fit_sync_every=args.sync_every,
         )
         return make_experiment(cfg)
 
@@ -241,6 +243,8 @@ def main(argv=None) -> int:
     p.add_argument("--batched", action="store_true",
                    help="vmapped candidate lanes (crashes this tunnel's "
                         "TPU worker; fine on CPU)")
+    p.add_argument("--sync-every", type=int, default=8,
+                   help="host-loop fits: async steps per early-exit fetch")
     p.add_argument("--max-outer", type=int, default=1,
                    help="outer pruning passes (reference: 500; 1 bounds "
                         "the bench stage)")
@@ -262,6 +266,7 @@ def main(argv=None) -> int:
            "--prune-steps", str(args.prune_steps),
            "--lane-chunk", str(args.lane_chunk),
            "--max-outer", str(args.max_outer),
+           "--sync-every", str(args.sync_every),
            "--jit-scope", args.jit_scope] + (
                ["--batched"] if args.batched else [])
     if args.cpu:

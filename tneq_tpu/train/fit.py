@@ -84,6 +84,7 @@ def make_masked_fidelity_fit(
     loss_kind: str = "raw",
     complex_as_real: bool = False,
     jit_scope: str = "fit",
+    sync_every: int = 1,
 ) -> Callable:
     """Build ``fit(params, mask, target) -> FitResult``, fully jitted.
 
@@ -151,11 +152,15 @@ def make_masked_fidelity_fit(
             opt_state = optimizer.init(params)
             infid = jnp.ones(())
             steps = 0
+            # see network_fit.fit_host: K async dispatches per exit-check
+            # fetch so steps pipeline over a remote device
+            chunk = max(1, int(sync_every))
             while steps < max_steps and float(infid) >= tol:
-                params, opt_state, infid = one_step(
-                    params, opt_state, mask, target
-                )
-                steps += 1
+                for _ in range(min(chunk, max_steps - steps)):
+                    params, opt_state, infid = one_step(
+                        params, opt_state, mask, target
+                    )
+                    steps += 1
             return FitResult(params, infid, jnp.asarray(steps), opt_state)
 
         return fit_host

@@ -166,6 +166,7 @@ def make_masked_network_fidelity_fit(
     dtype=jnp.complex64,
     complex_as_real: bool = False,
     jit_scope: str = "fit",
+    sync_every: int = 1,
 ) -> Callable:
     """Build ``fit(params, mask, target_params, target_mask) -> FitResult``.
 
@@ -265,11 +266,17 @@ def make_masked_network_fidelity_fit(
             opt_state = optimizer.init(params)
             nlf = jnp.full((), 1e9)
             steps = 0
+            # the early-exit check fetches nlf (a device round-trip, the
+            # dominant per-step cost over a remote device); sync_every=K
+            # dispatches K async steps per fetch so they pipeline, at the
+            # price of up to K-1 extra steps past the tolerance
+            chunk = max(1, int(sync_every))
             while steps < max_steps and float(nlf) > -log_tol:
-                params, opt_state, nlf = one_step(
-                    params, opt_state, mask, target_eff_n, log_tt
-                )
-                steps += 1
+                for _ in range(min(chunk, max_steps - steps)):
+                    params, opt_state, nlf = one_step(
+                        params, opt_state, mask, target_eff_n, log_tt
+                    )
+                    steps += 1
             infid = -jnp.expm1(-nlf)
             return FitResult(params, infid, jnp.asarray(steps), opt_state)
 
