@@ -163,7 +163,7 @@ class TestDenseHostLoop:
         )
         mask = jnp.ones((g.ncores,), jnp.float32)
         results = {}
-        for scope in ("fit", "step"):
+        for scope in ("fit", "step", "chunk"):
             fit = make_masked_fidelity_fit(
                 g, sgdg(0.1, momentum=0.9, stiefel=True),
                 max_steps=60, tol=1e-3, jit_scope=scope,
@@ -174,3 +174,62 @@ class TestDenseHostLoop:
             results["fit"][0], results["step"][0], rtol=1e-4, atol=1e-6
         )
         assert results["fit"][1] == results["step"][1]
+        # sync_every=1 chunk == one step per dispatch: identical trajectory
+        np.testing.assert_allclose(
+            results["fit"][0], results["chunk"][0], rtol=1e-4, atol=1e-6
+        )
+        assert results["fit"][1] == results["chunk"][1]
+
+    def test_chunk_scope_amortizes_and_converges(self):
+        from tneq_tpu.graph import (
+            build_brick_wall_incidence,
+            incidence_to_graph,
+            parse_graph,
+        )
+        from tneq_tpu.model.qctn import init_params
+        from tneq_tpu.ops.contract import contract_cores
+        from tneq_tpu.train.fit import make_masked_fidelity_fit
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(4, 2)))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        target = contract_cores(g, params)  # exactly representable target
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        fit = make_masked_fidelity_fit(
+            g, sgdg(0.1, momentum=0.9, stiefel=True),
+            max_steps=400, tol=1e-3, jit_scope="chunk", sync_every=8,
+        )
+        res = fit(params, mask, target)
+        assert float(res.infidelity) < 1e-3
+        assert int(res.steps) % 8 == 0  # chunk granularity
+
+    def test_batched_matches_sequential_host_fit(self):
+        """fit.batched with identical mask rows reproduces the unbatched
+        trajectory lane-for-lane (chunk_steps=1 == per-step lockstep)."""
+        from tneq_tpu.graph import (
+            build_brick_wall_incidence,
+            incidence_to_graph,
+            parse_graph,
+        )
+        from tneq_tpu.model.qctn import init_params
+        from tneq_tpu.ops.contract import contract_cores
+        from tneq_tpu.train.fit import make_masked_fidelity_fit
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(4, 2)))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        target = contract_cores(
+            g, init_params(g, jax.random.PRNGKey(1), jnp.complex64)
+        )
+        fit = make_masked_fidelity_fit(
+            g, sgdg(0.1, momentum=0.9, stiefel=True),
+            max_steps=40, tol=1e-8, jit_scope="step",
+        )
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        ref = fit(params, mask, target)
+        masks = jnp.stack([mask, mask])
+        res = fit.batched(params, masks, target, chunk_steps=1)
+        assert int(res.steps) == int(ref.steps)
+        got = np.asarray(res.infidelity)
+        np.testing.assert_allclose(got[0], got[1], rtol=1e-6)
+        np.testing.assert_allclose(
+            got[0], float(ref.infidelity), rtol=1e-4, atol=1e-7
+        )

@@ -175,7 +175,7 @@ class TestHostLoopFit:
         mask = jnp.ones((g.ncores,), jnp.float32)
         tmask = mask.at[2].set(0.0)
         results = {}
-        for scope in ("fit", "step"):
+        for scope in ("fit", "step", "chunk"):
             fit = make_masked_network_fidelity_fit(
                 g, sgdg(1e-2, momentum=0.9, stiefel=True),
                 max_steps=80, tol=1e-3, dtype=jnp.float32, jit_scope=scope,
@@ -186,3 +186,30 @@ class TestHostLoopFit:
             results["fit"][0], results["step"][0], rtol=1e-4, atol=1e-6
         )
         assert results["fit"][1] == results["step"][1]
+        np.testing.assert_allclose(
+            results["fit"][0], results["chunk"][0], rtol=1e-4, atol=1e-6
+        )
+        assert results["fit"][1] == results["chunk"][1]
+
+    def test_batched_lockstep_matches_host_fit(self):
+        from tneq_tpu.graph import build_brick_wall_incidence, incidence_to_graph
+        from tneq_tpu.optim import sgdg
+        from tneq_tpu.train.network_fit import make_masked_network_fidelity_fit
+
+        g = parse_graph(incidence_to_graph(build_brick_wall_incidence(6, 3)))
+        p = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        tmask = mask.at[2].set(0.0)
+        fit = make_masked_network_fidelity_fit(
+            g, sgdg(1e-2, momentum=0.9, stiefel=True),
+            max_steps=40, tol=1e-8, dtype=jnp.float32, jit_scope="chunk",
+        )
+        ref = fit(p, mask, p, tmask)
+        masks = jnp.stack([mask, mask.at[3].set(0.0)])
+        res = fit.batched(p, masks, p, tmask, chunk_steps=1)
+        assert int(res.steps) == int(ref.steps)
+        got = np.asarray(res.infidelity)
+        np.testing.assert_allclose(
+            got[0], float(ref.infidelity), rtol=1e-4, atol=1e-7
+        )
+        assert np.isfinite(got).all()

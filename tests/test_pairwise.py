@@ -64,15 +64,18 @@ class TestPairwiseSteps:
 
 
 class TestChoosePath:
-    def test_memory_guard_falls_back_to_linear(self):
-        # an outer-product-heavy optimal path is rejected when its largest
-        # intermediate exceeds the cap
+    def test_memory_guard_enforced_on_both_paths(self):
+        # a satisfiable cap returns a path whose intermediates all fit it
         shapes = ((64, 64), (64, 64), (64, 64), (64, 64))
         eq = "ab,bc,cd,da->"
-        path_small = choose_path(eq, shapes, max_intermediate=16)
-        from tneq_tpu.ops.pairwise import _linear_path
+        from tneq_tpu.ops.pairwise import _max_intermediate_size
 
-        assert list(path_small) == _linear_path(4)
+        path_ok = choose_path(eq, shapes, max_intermediate=4096)
+        assert _max_intermediate_size(eq, shapes, list(path_ok)) <= 4096
+        # an unsatisfiable cap raises instead of silently materializing the
+        # linear fallback's oversized intermediate (ADVICE r2)
+        with pytest.raises(ValueError, match="no contraction path fits"):
+            choose_path(eq, shapes, max_intermediate=16)
 
     def test_small_network_uses_native_or_linear(self):
         shapes = ((2, 3), (3, 4), (4, 2))

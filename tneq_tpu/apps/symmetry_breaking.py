@@ -65,12 +65,14 @@ class SymmetryBreakingConfig:
     # ("kernel fault", docs/ROUND1.md); chunking keeps each call small and
     # pads the tail chunk so every call reuses ONE compiled program
     lane_chunk: int = 8
-    # network-mode fits: 'fit' compiles the whole while_loop; 'step'
-    # compiles only the per-step program and loops on the host (for
-    # compilers that cannot hold the full fit program)
+    # fits: 'fit' compiles the whole while_loop; 'step' compiles only the
+    # per-step program and loops on the host (for compilers that cannot
+    # hold the full fit program); 'chunk' compiles a K-step lax.scan and
+    # loops on the host per chunk (bounded program AND K steps per device
+    # round-trip — the TPU-tunnel sweet spot)
     fit_jit_scope: str = "fit"
-    # with jit_scope='step': dispatch this many async steps per
-    # early-exit fetch (pipelines steps over a remote device)
+    # jit_scope='step': async steps dispatched per early-exit fetch;
+    # jit_scope='chunk': steps per jitted scan chunk
     fit_sync_every: int = 1
     prune_lr: float = 1e-2
     prune_steps: int = 5000
@@ -302,14 +304,17 @@ def symmetry_breaking_batched(
 
     TPU-first variant of the sequential sweep: the per-candidate fits share
     one program vmapped over the mask batch, so an accept-round costs one
-    device call instead of ~ncores.  (Under vmap the while_loop runs until
-    every lane converges or hits max_steps — the slowest candidate
-    dominates, but lanes run in parallel.)  The accepted-set semantics match
-    the sequential greedy loop up to tie-breaking order.
+    device call instead of ~ncores.  Lanes run in lockstep (vmapped K-step
+    chunks, ``fit.batched``) until every lane converges or hits max_steps —
+    the slowest candidate dominates, but lanes run in parallel.  Works for
+    EVERY ``fit_jit_scope`` (the host-driven 'step'/'chunk' fits cannot be
+    ``jax.vmap``-ed directly — ADVICE r2) and its bounded per-dispatch
+    program avoids the whole-fit while_loop TPU worker crash.  The
+    accepted-set semantics match the sequential greedy loop up to
+    tie-breaking order.
     """
     cfg = exp.cfg
-    fit = exp.prune_fit
-    batched_fit = jax.vmap(fit, in_axes=(None, 0) + ((None, None) if cfg.fidelity_mode == "network" else (None,)))
+    batched_fit = exp.prune_fit.batched
     pruned: List[int] = []
     prune_count = 0
     current = warm_params
@@ -326,11 +331,15 @@ def symmetry_breaking_batched(
             if pad:
                 part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
             masks = jnp.asarray(part)
+            # K steps per vmapped dispatch: amortizes the device round-trip
+            # over K x lanes steps (convergence checked per chunk)
+            k = max(16, int(cfg.fit_sync_every))
             if cfg.fidelity_mode == "network":
                 t_params, t_mask = target
-                res = batched_fit(current, masks, t_params, t_mask)
+                res = batched_fit(current, masks, t_params, t_mask,
+                                  chunk_steps=k)
             else:
-                res = batched_fit(current, masks, target)
+                res = batched_fit(current, masks, target, chunk_steps=k)
             take = part.shape[0] - pad
             infids.append(np.asarray(res.infidelity)[:take])
             params_chunks.append(
@@ -407,6 +416,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                         "variant; complex64-pair lowers complex cores to "
                         "stacked-real pairs (real-only ops: the complex "
                         "experiment on accelerators without complex64)")
+    p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
+                   default="fit",
+                   help="'fit': whole while_loop on device; 'step': host "
+                        "loop, one step per dispatch; 'chunk': host loop, "
+                        "sync-every steps per jitted scan dispatch")
+    p.add_argument("--sync-every", type=int, default=1,
+                   help="steps per dispatch for jit-scope step/chunk")
     args = p.parse_args(argv)
 
     pair_mode = args.dtype == "complex64-pair"
@@ -421,6 +437,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         dtype=jnp.complex64 if pair_mode else getattr(jnp, args.dtype),
         complex_as_real=pair_mode,
         lane_chunk=args.lane_chunk,
+        fit_jit_scope=args.jit_scope,
+        fit_sync_every=args.sync_every,
     )
     exp = make_experiment(cfg)
     key = jax.random.PRNGKey(cfg.seed)

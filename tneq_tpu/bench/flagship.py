@@ -248,8 +248,14 @@ def main(argv=None) -> int:
     p.add_argument("--max-outer", type=int, default=1,
                    help="outer pruning passes (reference: 500; 1 bounds "
                         "the bench stage)")
-    p.add_argument("--jit-scope", choices=["fit", "step"], default="step",
-               help="32q network fits: 'fit' compiles the whole while_loop (crashes this tunnel's TPU worker at 32q — kernel fault); 'step' drives the loop from the host")
+    p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
+               default="chunk",
+               help="network fits: 'fit' compiles the whole while_loop "
+                    "(crashes this tunnel's TPU worker at 32q — kernel "
+                    "fault); 'step' drives the loop from the host one step "
+                    "per round-trip; 'chunk' dispatches K=sync-every steps "
+                    "per round-trip as one jitted scan (bounded program, "
+                    "amortized tunnel latency — the round-3 default)")
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 

@@ -91,10 +91,20 @@ def overlap_flops(graph, dtype=np.float32) -> float:
 def network_fidelity_step_flops(
     graph, dtype=np.float32, gradient: bool = True
 ) -> float:
-    """FLOPs of one network-fidelity training step: 3 overlaps
-    (⟨p,t⟩, ⟨p,p⟩, ⟨t,t⟩), x3 when differentiated."""
-    fwd = 3.0 * overlap_flops(graph, dtype)
-    return fwd * (3.0 if gradient else 1.0)
+    """FLOPs of one network-fidelity training step.
+
+    Forward = 3 overlaps (⟨p,t⟩, ⟨p,p⟩, ⟨t,t⟩).  The gradient step counts
+    only what the measured program actually executes: ⟨t,t⟩ is
+    loop-invariant (hoisted out of the training scan, and never
+    differentiated), so per step fwd = 2 overlaps and bwd = 2·2 overlaps —
+    the 6x model ``flagship.py``/``microbench.py`` use.  (The previous 9x
+    model charged all 3 overlaps a backward and inflated tflops/mxu_util
+    ~1.5x — ADVICE r2.)
+    """
+    ov = overlap_flops(graph, dtype)
+    if not gradient:
+        return 3.0 * ov
+    return 6.0 * ov
 
 
 def siamese_flops(

@@ -10,9 +10,55 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Tuple
 
-from .dsl import get_symbol, parse_graph
+from .dsl import CircuitGraph, CoreSpec, Edge, get_symbol, parse_graph
 
-__all__ = ["split_graph", "merge_graphs"]
+__all__ = ["split_graph", "merge_graphs", "with_bond_ranks"]
+
+
+def with_bond_ranks(
+    graph: CircuitGraph, rank_map: Dict[Tuple[int, int, int], int]
+) -> CircuitGraph:
+    """Same topology with chosen internal bond ranks replaced.
+
+    ``rank_map`` keys are ``(min_core_idx, max_core_idx, qubit)`` bond keys
+    (the convention of ``parallel.mp.choose_slice_bonds``).  Used by the
+    sliced multi-chip contraction: fixing a bond index per slice is a
+    rank-1 version of the bond, so the per-slice network is this graph with
+    those ranks set to 1 (reference analogue: the K-shard slice of the TP
+    matmul, ``distributed_engine.py:1384-1435``).
+    """
+
+    def fix(core: CoreSpec, e: Edge) -> Edge:
+        if e.neighbor >= 0:
+            key = (
+                min(core.index, e.neighbor),
+                max(core.index, e.neighbor),
+                e.qubit,
+            )
+            if key in rank_map:
+                return Edge(e.qubit, int(rank_map[key]), e.neighbor)
+        return e
+
+    found = set()
+    cores = []
+    for c in graph.cores:
+        for e in c.in_edges + c.out_edges:
+            if e.neighbor >= 0:
+                key = (min(c.index, e.neighbor), max(c.index, e.neighbor), e.qubit)
+                if key in rank_map:
+                    found.add(key)
+        cores.append(
+            CoreSpec(
+                c.index,
+                c.name,
+                tuple(fix(c, e) for e in c.in_edges),
+                tuple(fix(c, e) for e in c.out_edges),
+            )
+        )
+    missing = set(rank_map) - found
+    if missing:
+        raise ValueError(f"not internal bonds of this graph: {sorted(missing)}")
+    return CircuitGraph(graph.nqubits, tuple(cores))
 
 
 def _tokenize(line: str) -> List[Tuple[str, object]]:

@@ -43,6 +43,7 @@ __all__ = [
     "execute_pairwise",
     "log_abs_einsum",
     "make_log_abs_overlap_fn",
+    "make_log_abs_two_network_fn",
 ]
 
 _TINY = 1e-30
@@ -167,11 +168,32 @@ def choose_path(
         native = find_path(equation, shapes)
     except Exception:
         native = None
-    if native is not None and _max_intermediate_size(
-        equation, shapes, native
-    ) <= max_intermediate:
+    native_sz = (
+        _max_intermediate_size(equation, shapes, native)
+        if native is not None
+        else None
+    )
+    if native_sz is not None and native_sz <= max_intermediate:
         return tuple(native)
-    return tuple(_linear_path(n))
+    # the fallback is memory-checked too (ADVICE r2): callers that
+    # pre-order operands row-major get a small boundary-MPS sweep, but
+    # log_abs_einsum accepts arbitrary equations where the left-fold can
+    # blow past the cap just as badly as a bad native path
+    linear = _linear_path(n)
+    linear_sz = _max_intermediate_size(equation, shapes, linear)
+    if linear_sz <= max_intermediate:
+        return tuple(linear)
+    if native_sz is not None and native_sz < linear_sz:
+        raise ValueError(
+            f"no contraction path fits max_intermediate={max_intermediate}: "
+            f"best (native) path needs a {native_sz}-element intermediate "
+            f"(linear fallback: {linear_sz})"
+        )
+    raise ValueError(
+        f"no contraction path fits max_intermediate={max_intermediate}: "
+        f"linear fallback needs a {linear_sz}-element intermediate"
+        + (f" (native path: {native_sz})" if native_sz is not None else "")
+    )
 
 
 def execute_pairwise(
@@ -248,26 +270,67 @@ def make_log_abs_overlap_fn(graph, max_intermediate: int = 1 << 26):
     boundary-MPS sweep; the flops-optimal native path is used when its
     intermediates fit.  B-side cores are conjugated (Hermitian overlap).
     """
+    return make_log_abs_two_network_fn(graph, None, max_intermediate)
+
+
+def make_log_abs_two_network_fn(
+    graph_a,
+    graph_b=None,
+    max_intermediate: int = 1 << 26,
+    signed: bool = False,
+):
+    """fn(params_a, params_b) -> log|⟨A, B⟩| for two networks.
+
+    ``graph_b`` may be a DIFFERENT topology (or the same topology with
+    different internal bond ranks — the sliced multi-chip case); it only
+    needs matching boundary ranks.  Operands are pre-ordered row-major per
+    network and interleaved so the linear fallback stays a boundary sweep.
+    B-side cores are conjugated (Hermitian overlap).
+
+    ``signed=True``: return ``(mantissa, log_scale)`` — the summable form
+    for slice partials (see ``ops/row_scan.py``).
+    """
     from .einsum_spec import two_network_spec
 
-    spec = two_network_spec(graph, graph)
+    gb = graph_b if graph_b is not None else graph_a
+    spec = two_network_spec(graph_a, gb)
     lhs, rhs = spec.equation.split("->")
     subs = lhs.split(",")
-    n = graph.ncores
-    order = row_major_core_order(graph)
-    # interleave: A_k then B_k for each row-major slot k
-    perm = []
-    for k in order:
-        perm.extend((k, n + k))
-    new_subs = [subs[p] for p in perm]
-    equation = ",".join(new_subs) + "->" + rhs
-    names = [graph.cores[k].name for k in order]
+    n = graph_a.ncores
+    order_a = row_major_core_order(graph_a)
+    order_b = row_major_core_order(gb)
+    # interleave row-major slots of the two networks (A_k then B_k per
+    # slot, the boundary-MPS pairing); different core counts (unequal
+    # topologies, the GA candidate-vs-goal case) interleave by zip as far
+    # as possible and append the remainder
+    perm: List[int] = []
+    slots: List[Tuple[str, str]] = []  # (side, name)
+    m = min(len(order_a), len(order_b))
+    for i in range(m):
+        perm.append(order_a[i])
+        slots.append(("a", graph_a.cores[order_a[i]].name))
+        perm.append(n + order_b[i])
+        slots.append(("b", gb.cores[order_b[i]].name))
+    for k in order_a[m:]:
+        perm.append(k)
+        slots.append(("a", graph_a.cores[k].name))
+    for k in order_b[m:]:
+        perm.append(n + k)
+        slots.append(("b", gb.cores[k].name))
+    equation = ",".join(subs[p] for p in perm) + "->" + rhs
 
     def fn(params_a, params_b):
         ops = []
-        for name in names:
-            ops.append(params_a[name])
-            ops.append(jnp.conj(params_b[name]))
-        return log_abs_einsum(equation, ops, max_intermediate)
+        for side, name in slots:
+            if side == "a":
+                ops.append(params_a[name])
+            else:
+                ops.append(jnp.conj(params_b[name]))
+        if not signed:
+            return log_abs_einsum(equation, ops, max_intermediate)
+        shapes = tuple(tuple(int(d) for d in np.shape(o)) for o in ops)
+        path = choose_path(equation, shapes, max_intermediate)
+        steps = pairwise_steps(equation, list(path))
+        return execute_pairwise(steps, ops, rescale=True)
 
     return fn

@@ -34,6 +34,7 @@ from ..graph.dsl import CircuitGraph, get_symbol
 
 __all__ = [
     "supports_row_scan",
+    "same_topology",
     "build_row_steps",
     "make_row_scan_log_overlap_fn",
 ]
@@ -49,11 +50,45 @@ def _core_rows(core) -> Tuple[int, ...]:
     return tuple(sorted({e.qubit for e in core.in_edges + core.out_edges}))
 
 
-def supports_row_scan(graph: CircuitGraph) -> bool:
+def same_topology(graph_a: CircuitGraph, graph_b: CircuitGraph) -> bool:
+    """True when the two graphs differ at most in INTERNAL bond ranks:
+    same cores/names, same edge wiring (qubit + neighbor per slot), same
+    boundary-leg ranks.  The overlap ⟨A, B⟩ of such a pair is well-defined
+    (boundaries glue; internal bonds are per-network) — the sliced
+    multi-chip contraction feeds a rank-reduced A against a full B."""
+    if graph_a.nqubits != graph_b.nqubits or graph_a.ncores != graph_b.ncores:
+        return False
+    for ca, cb in zip(graph_a.cores, graph_b.cores):
+        if ca.name != cb.name:
+            return False
+        for ea_list, eb_list in (
+            (ca.in_edges, cb.in_edges),
+            (ca.out_edges, cb.out_edges),
+        ):
+            if len(ea_list) != len(eb_list):
+                return False
+            for ea, eb in zip(ea_list, eb_list):
+                if ea.qubit != eb.qubit or ea.neighbor != eb.neighbor:
+                    return False
+                if ea.neighbor == -1 and ea.rank != eb.rank:
+                    return False
+    return True
+
+
+def supports_row_scan(
+    graph: CircuitGraph, graph_b: Optional[CircuitGraph] = None
+) -> bool:
     """True when every core spans exactly two ADJACENT qubit rows and the
-    cut environments stay below ``MAX_ENV_ELEMENTS``."""
+    cut environments stay below ``MAX_ENV_ELEMENTS``.
+
+    With ``graph_b``, checks the two-graph overlap (same topology, ranks
+    may differ on internal bonds): env size then multiplies A-side and
+    B-side leg ranks."""
+    if graph_b is not None and not same_topology(graph, graph_b):
+        return False
     if graph.nqubits < 3:
         return False
+    gb = graph_b if graph_b is not None else graph
     cuts: Dict[int, List[int]] = {}
     for core in graph.cores:
         rows = _core_rows(core)
@@ -67,13 +102,15 @@ def supports_row_scan(graph: CircuitGraph) -> bool:
     # env size: product of the row-(q+1) leg ranks of cut-q cores, both
     # networks
     for q, idxs in cuts.items():
-        size = 1
+        size_a = size_b = 1
         for i in idxs:
-            core = graph.cores[i]
-            for e in core.in_edges + core.out_edges:
+            for e in graph.cores[i].in_edges + graph.cores[i].out_edges:
                 if e.qubit == q + 1:
-                    size *= e.rank
-        if size * size > MAX_ENV_ELEMENTS:
+                    size_a *= e.rank
+            for e in gb.cores[i].in_edges + gb.cores[i].out_edges:
+                if e.qubit == q + 1:
+                    size_b *= e.rank
+        if size_a * size_b > MAX_ENV_ELEMENTS:
             return False
     return True
 
@@ -96,7 +133,9 @@ def _row_order(graph: CircuitGraph, idxs: List[int], q: int) -> List[int]:
     return sorted(idxs, key=lambda i: pos[i])
 
 
-def build_row_steps(graph: CircuitGraph):
+def build_row_steps(
+    graph: CircuitGraph, graph_b: Optional[CircuitGraph] = None
+):
     """Resolve the row sweep into per-row einsum steps.
 
     Returns ``steps``: a list over rows q=0..n-1 of dicts with
@@ -104,7 +143,12 @@ def build_row_steps(graph: CircuitGraph):
     ``cores`` (cut-q core names in row order; empty for the last row).
     The output axes of each step are the canonical env axis order consumed
     by the next step.
+
+    ``graph_b``: B-side graph when it differs from A in internal bond
+    ranks (sliced overlaps); equations are rank-agnostic, only the env
+    shapes depend on the per-net graph.
     """
+    net_graph = {"A": graph, "B": graph_b if graph_b is not None else graph}
     n = graph.nqubits
     cuts: Dict[int, List[int]] = {}
     for core in graph.cores:
@@ -182,7 +226,7 @@ def build_row_steps(graph: CircuitGraph):
 
         def _axis_rank(net, ci, ref):
             is_out, pos = ref
-            core = graph.cores[ci]
+            core = net_graph[net].cores[ci]
             return (core.out_edges if is_out else core.in_edges)[pos].rank
 
         in_shape = tuple(_axis_rank(*ax) for ax in env_axes)
@@ -204,11 +248,16 @@ def build_row_steps(graph: CircuitGraph):
 
 
 @lru_cache(maxsize=64)
-def _cached_steps(graph: CircuitGraph):
-    return build_row_steps(graph)
+def _cached_steps(graph: CircuitGraph, graph_b: Optional[CircuitGraph] = None):
+    return build_row_steps(graph, graph_b)
 
 
-def make_row_scan_log_overlap_fn(graph: CircuitGraph, batch=None):
+def make_row_scan_log_overlap_fn(
+    graph: CircuitGraph,
+    batch=None,
+    graph_b: Optional[CircuitGraph] = None,
+    signed: bool = False,
+):
     """fn(params_a, params_b) -> log|⟨A, B⟩| via the row sweep.
 
     B-side cores are conjugated (Hermitian overlap).  Identical bulk rows
@@ -221,10 +270,20 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph, batch=None):
     (and the masked fit's 2) share one sweep structure, so batching them
     cuts kernel launches ~Bx — the sweep's narrow contractions are
     latency-bound on the device.  Rescaling is per batch element.
+
+    ``graph_b``: B-side graph with different internal bond ranks (same
+    topology); used by the sliced multi-chip overlap where the A side is a
+    rank-1-bond slice of the network (``parallel/mp.py``).
+
+    ``signed=True``: return ``(mantissa, log_scale)`` with
+    ``value = mantissa·exp(log_scale)`` instead of ``log|value|`` — the
+    form slice partials must be summed in (signs/phases matter across
+    slices; scales are stop-gradiented so LOG gradients stay exact).
     """
-    if not supports_row_scan(graph):
+    if not supports_row_scan(graph, graph_b):
         raise ValueError("graph is not a layered 2-local circuit")
-    steps = _cached_steps(graph)
+    gb = graph_b if graph_b is not None else graph
+    steps = _cached_steps(graph, graph_b)
     n = len(steps)
 
     if batch is None:
@@ -267,7 +326,7 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph, batch=None):
         for nm in step["cores"]:
             shapes.append(graph.shapes[nm])
         for nm in step["cores"]:
-            shapes.append(graph.shapes[nm])
+            shapes.append(gb.shapes[nm])
         if len(shapes) <= 2:
             # 1-operand (final self-glue trace) or trivial 2-operand step:
             # direct einsum, nothing to plan
@@ -343,6 +402,7 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph, batch=None):
         return (
             steps[i]["equation"],
             tuple(graph.shapes[nm] for nm in steps[i]["cores"]),
+            tuple(gb.shapes[nm] for nm in steps[i]["cores"]),
         )
 
     # scan candidate: pairs (q, q+1) for q in [start, start+2*T) with
@@ -423,6 +483,8 @@ def make_row_scan_log_overlap_fn(graph: CircuitGraph, batch=None):
 
         # final row: scalar
         final, logs = run_step(steps[n - 1], env, logs, params_a, params_b)
+        if signed:
+            return final, logs
         return logs + jnp.log(jnp.abs(final) + _TINY)
 
     return fn

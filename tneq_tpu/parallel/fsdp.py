@@ -198,9 +198,18 @@ def stacked_sgdg(
         for arr, g, v, sk in zip(stacks, grads, state.momentum, subkeys):
             rows, cols = _rows_cols(arr.shape[1:])
             if not (stiefel and rows <= cols):
-                buf = momentum * v + g if momentum != 0 else g
+                # mirror stiefel.sgdg._plain_update (ADVICE r2): descent
+                # direction for complex leaves is conj(g), and the first
+                # step initializes the buffer to the gradient (torch
+                # semantics) instead of momentum·0 + g
+                d = jnp.conj(g)
+                if momentum != 0:
+                    buf = momentum * v + d
+                    buf = jnp.where(state.count == 0, d, buf)
+                else:
+                    buf = d
                 updates.append(-lr * buf)
-                moms.append(buf)
+                moms.append(buf if momentum != 0 else v)
                 continue
             x = jax.vmap(lambda p: unit_rows(p.reshape(rows, cols), eps))(arr)
             if retraction_prob > 0:

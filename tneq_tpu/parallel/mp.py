@@ -28,9 +28,17 @@ from ..ops.contract import abs_square
 from ..ops.einsum_spec import siamese_spec_sliced
 from ..train.losses import nll_loss
 
-__all__ = ["choose_slice_bonds", "make_sliced_siamese_fn", "sliced_nll_loss"]
+__all__ = [
+    "choose_slice_bonds",
+    "make_sliced_siamese_fn",
+    "make_sliced_log_overlap_fn",
+    "sliced_nll_loss",
+]
 
 BondKey = Tuple[int, int, int]  # (min_core_idx, max_core_idx, qubit)
+
+_NEG = -1e30  # "log of zero" for masked slice partials (finite: -inf-(-inf)
+#               in the running max-normalization would produce NaNs)
 
 
 def _internal_bonds(graph: CircuitGraph) -> List[Tuple[BondKey, int]]:
@@ -43,7 +51,9 @@ def _internal_bonds(graph: CircuitGraph) -> List[Tuple[BondKey, int]]:
     return sorted(seen.items())
 
 
-def choose_slice_bonds(graph: CircuitGraph, n_slices: int) -> Tuple[BondKey, ...]:
+def choose_slice_bonds(
+    graph: CircuitGraph, n_slices: int, prefer_early_rows: bool = False
+) -> Tuple[BondKey, ...]:
     """Greedily pick internal bonds whose rank product covers ``n_slices``
     (slice-count per device = ceil(product / n_slices); a non-divisible
     product is padded and masked).
@@ -51,10 +61,18 @@ def choose_slice_bonds(graph: CircuitGraph, n_slices: int) -> Tuple[BondKey, ...
     The reference instead shards the cut-index product of its fixed core
     partition (``distributed_engine.py:1384-1435``); choosing max-rank bonds
     keeps per-slice work MXU-shaped.
+
+    ``prefer_early_rows``: pick lowest-qubit bonds first (max rank as the
+    tie-break) — slicing then touches only the first row steps of the
+    row-sweep overlap executor, keeping its periodic bulk ``lax.scan``
+    intact (``ops/row_scan.py``).
     """
     if n_slices == 1:
         return ()
-    bonds = sorted(_internal_bonds(graph), key=lambda kv: -kv[1])
+    if prefer_early_rows:
+        bonds = sorted(_internal_bonds(graph), key=lambda kv: (kv[0][2], -kv[1]))
+    else:
+        bonds = sorted(_internal_bonds(graph), key=lambda kv: -kv[1])
     if not bonds:
         raise ValueError("graph has no internal bonds to slice")
     chosen: List[BondKey] = []
@@ -253,6 +271,136 @@ def make_sliced_two_network_fn(
         return contract(params1, params2)
 
     return sharded
+
+
+def make_sliced_log_overlap_fn(
+    graph: CircuitGraph,
+    mesh: Mesh,
+    bonds: Optional[Sequence[BondKey]] = None,
+    model_axis: str = "model",
+):
+    """``fn(params_a, params_b) -> log|⟨A, B⟩|``, bond-sliced over
+    ``model_axis`` and float32-safe at ANY qubit count.
+
+    This is the multi-chip path of the 30+-qubit network-fidelity
+    experiment.  The raw-valued sliced overlap
+    (:func:`make_sliced_two_network_fn`) under/overflows float32 beyond
+    ~24 qubits — exactly where slicing is needed — so here each slice
+    partial is computed by a RESCALED executor (the row sweep for layered
+    circuits, the pairwise executor otherwise) in ``(mantissa, log_scale)``
+    form, partials are accumulated per device in running-max-normalized
+    form, and devices combine via a group max of the log-scales followed by
+    a ``psum`` of renormalized mantissas — the direct analogue of the
+    reference's cross-rank TNTensor log-scale max-exchange
+    (``tneq_qc/distributed/engine/distributed_engine.py:1437-1472``).
+    Scales are stop-gradiented throughout, so gradients of the LOG overlap
+    are exact and flow through the ``psum`` (differentiable collectives).
+
+    Only the A side is sliced (⟨A,B⟩ sums over A's bond indices; B keeps
+    full tensors), so the same ``fn`` serves ⟨p,t⟩ and ⟨p,p⟩ in the
+    fidelity.
+    """
+    from ..graph.surgery import with_bond_ranks
+    from ..ops.pairwise import make_log_abs_two_network_fn
+    from ..ops.row_scan import make_row_scan_log_overlap_fn, supports_row_scan
+
+    n_model = mesh.shape[model_axis]
+    if bonds is None:
+        bonds = choose_slice_bonds(graph, n_model, prefer_early_rows=True)
+    bonds = tuple(bonds)
+    ranks = []
+    slice_axes: dict = {}
+    for b_i, (i, j, q) in enumerate(bonds):
+        edge = next(
+            e
+            for e in graph.cores[i].in_edges + graph.cores[i].out_edges
+            if e.qubit == q and e.neighbor == j
+        )
+        ranks.append(edge.rank)
+        for ci, other in ((i, j), (j, i)):
+            core = graph.cores[ci]
+            edges = core.in_edges + core.out_edges
+            axis = next(
+                k
+                for k, e in enumerate(edges)
+                if e.qubit == q and e.neighbor == other
+            )
+            slice_axes.setdefault(core.name, []).append((b_i, axis))
+    ranks = tuple(ranks)
+    total = int(np.prod(ranks)) if ranks else 1
+    local = -(-total // n_model)  # ceil: pad, mask the tail
+
+    graph_sliced = with_bond_ranks(graph, {b: 1 for b in bonds})
+    if supports_row_scan(graph_sliced, graph):
+        overlap_slice = make_row_scan_log_overlap_fn(
+            graph_sliced, graph_b=graph, signed=True
+        )
+    else:
+        overlap_slice = make_log_abs_two_network_fn(
+            graph_sliced, graph, signed=True
+        )
+
+    def slice_params(params, flat_idx):
+        idxs = []
+        rem = flat_idx
+        for r in reversed(ranks):
+            idxs.append(rem % r)
+            rem = rem // r
+        idxs = idxs[::-1]
+        out = dict(params)
+        for name, axes in slice_axes.items():
+            arr = out[name]
+            # keepdims slices (size-1 axes): positions stay valid in any
+            # order and shapes match graph_sliced
+            for b_i, axis in axes:
+                arr = jax.lax.dynamic_slice_in_dim(arr, idxs[b_i], 1, axis)
+            out[name] = arr
+        return out
+
+    def contract(params_a, params_b):
+        shard = jax.lax.axis_index(model_axis)
+        base = shard * local
+
+        def one(off, carry):
+            m, l = carry
+            idx = base + off
+            pa = slice_params(params_a, idx)
+            ms, ls = overlap_slice(pa, params_b)
+            valid = idx < total
+            ms = jnp.where(valid, ms, jnp.zeros_like(ms))
+            ls = jnp.where(valid, ls, jnp.full_like(ls, _NEG))
+            # running max-normalized accumulation: sum = m·e^l stays
+            # represented with |m| ~ O(1) however the slice scales differ
+            hi = jnp.maximum(l, ls)
+            m = m * jnp.exp(l - hi) + ms * jnp.exp(ls - hi)
+            return m, hi
+
+        dtype = jax.tree.leaves(params_a)[0].dtype
+        m0 = jnp.zeros((), dtype)
+        l0 = jnp.full((), _NEG, jnp.float32)
+        # the body reads axis_index -> carries vary over the model axis
+        m0 = jax.lax.pcast(m0, (model_axis,), to="varying")
+        l0 = jax.lax.pcast(l0, (model_axis,), to="varying")
+        if local > 1:
+            m, l = jax.lax.fori_loop(0, local, one, (m0, l0))
+        else:
+            m, l = one(0, (m0, l0))
+        # cross-device combine: group-max normalize then psum mantissas
+        # (reference max-exchange, distributed_engine.py:1437-1472); the
+        # log-scales are stop-gradient throughout, so the whole gradient
+        # rides the differentiable psum of mantissas
+        gmax = jax.lax.stop_gradient(jax.lax.pmax(l, model_axis))
+        m_tot = jax.lax.psum(m * jnp.exp(l - gmax), model_axis)
+        return gmax + jnp.log(jnp.abs(m_tot) + _TINY)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P())
+    def sharded(params_a, params_b):
+        return contract(params_a, params_b)
+
+    return sharded
+
+
+_TINY = 1e-30
 
 
 def sliced_nll_loss(
