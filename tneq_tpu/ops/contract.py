@@ -141,6 +141,7 @@ def make_siamese_fn(
     states_batched: bool = False,
     measure_extra_dims: int = 1,
     conj_right: bool = True,
+    rescale: bool = False,
 ):
     """fn(params, states, measures) -> raw siamese value ``[batch...]``.
 
@@ -148,6 +149,11 @@ def make_siamese_fn(
     ``states_batched``); ``measures``: per-qubit list of
     ``(B..., K_out, K_out')`` operators with ``measure_extra_dims`` leading
     axes.  The bra side is conjugated (no-op for real dtypes).
+
+    ``rescale=True``: execute through the per-step max-abs-rescaled
+    pairwise executor and return ``(value, log_scale)``
+    (``true_value = value·exp(log_scale)``) — float32-safe at 30+ qubits
+    (see :func:`make_siamese_env_fn`).
     """
     spec = siamese_spec(graph, with_states, states_batched, measure_extra_dims)
 
@@ -186,7 +192,14 @@ def make_siamese_fn(
         ops = _gather_operands(
             spec, params, states=states, measures=measures, conj_right=conj_right
         )
-        return _einsum(spec, ops)
+        if not rescale:
+            return _einsum(spec, ops)
+        from .pairwise import choose_path, execute_pairwise, pairwise_steps
+
+        shapes = tuple(tuple(int(d) for d in o.shape) for o in ops)
+        path = choose_path(spec.equation, shapes, 1 << 28)
+        steps = pairwise_steps(spec.equation, list(path))
+        return execute_pairwise(steps, ops, rescale=True)
 
     return fn
 
@@ -196,6 +209,7 @@ def make_siamese_env_fn(
     open_qubit: int,
     with_states: bool = True,
     states_batched: bool = False,
+    rescale: bool = False,
 ):
     """fn(params, states, measures) -> environment ``[B, K, K]`` with
     ``open_qubit``'s measurement slot left open.
@@ -205,6 +219,13 @@ def make_siamese_env_fn(
     on that qubit is then ``einsum('bkl,...kl->b...', env, M)`` — the
     sampler's grid evaluation becomes one tiny inner product instead of an
     S×G re-contraction of the whole network.
+
+    ``rescale=True``: execute through the per-step max-abs-rescaled
+    pairwise executor and return ``(env, log_scale)`` with
+    ``true_env = env·exp(log_scale)`` — float32-safe at 30+ qubits where
+    the dense einsum under/overflows (the sampler's CDF is scale-invariant
+    per qubit, so it can drop the log; reference comparison:
+    ``engine_siamese.py:740-915`` is dense and cannot reach this regime).
     """
     spec = siamese_env_spec(graph, open_qubit, with_states, states_batched)
 
@@ -214,7 +235,14 @@ def make_siamese_env_fn(
         measures: Sequence[jax.Array],
     ) -> jax.Array:
         ops = _gather_operands(spec, params, states=states, measures=measures)
-        return _einsum(spec, ops)
+        if not rescale:
+            return _einsum(spec, ops)
+        from .pairwise import choose_path, execute_pairwise, pairwise_steps
+
+        shapes = tuple(tuple(int(d) for d in o.shape) for o in ops)
+        path = choose_path(spec.equation, shapes, 1 << 28)
+        steps = pairwise_steps(spec.equation, list(path))
+        return execute_pairwise(steps, ops, rescale=True)
 
     return fn
 
