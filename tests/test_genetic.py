@@ -421,3 +421,71 @@ class TestCrossoverEvolve:
         )
         best = search.run()
         assert best.fitness_score is not None
+
+
+class TestLogFidelityLoss:
+    """Scale-safe GA fitness (VERDICT r2 missing #4): loss='log_fidelity'
+    ranks candidates at 30 qubits where the reference raw overlap MSE is
+    float32-degenerate (under/overflowed)."""
+
+    def test_log_mode_reduces_loss_small(self, goal):
+        graph, params = goal
+        ev = CandidateEvaluator(
+            graph, params, n_iter=10, max_iterations=100,
+            method="adam", learning_rate=5e-2, loss="log_fidelity",
+        )
+        losses, iters, reason = ev.evaluate(
+            graph.source, jax.random.PRNGKey(1), repeats=2
+        )
+        assert np.isfinite(losses).all()
+        # -log F should drop well below the cold-start value
+        ev0 = CandidateEvaluator(
+            graph, params, n_iter=1, max_iterations=1,
+            method="adam", learning_rate=0.0, loss="log_fidelity",
+        )
+        cold, _, _ = ev0.evaluate(graph.source, jax.random.PRNGKey(1),
+                                  repeats=2)
+        assert losses.min() < cold.min()
+
+    def test_30q_finite_and_discriminative_where_raw_is_not(self):
+        from tneq_tpu.graph import mps_graph
+
+        goal_graph = parse_graph(mps_graph(30, dim=2))
+        gp = init_params(goal_graph, jax.random.PRNGKey(0), jnp.float32)
+        # un-normalized goal (x8 per core): the raw overlap (~8^30 x base,
+        # squared in the loss) overflows f32
+        gp = {k: 8.0 * v for k, v in gp.items()}
+        cand_same = mps_graph(30, dim=2)
+        # same boundary ranks, all internal bonds cut to rank 1 (a product
+        # of two-qubit blocks: strictly weaker)
+        from tneq_tpu.graph.dsl import render_dsl
+        from tneq_tpu.graph.surgery import with_bond_ranks
+
+        g_same = parse_graph(cand_same)
+        internal = {
+            (min(c.index, e.neighbor), max(c.index, e.neighbor), e.qubit): 1
+            for c in g_same.cores
+            for e in c.in_edges + c.out_edges
+            if e.neighbor >= 0
+        }
+        cand_weak = render_dsl(with_bond_ranks(g_same, internal))
+
+        raw_ev = CandidateEvaluator(
+            goal_graph, gp, n_iter=3, max_iterations=3,
+            method="adam", learning_rate=1e-2, loss="overlap_mse",
+        )
+        raw_losses, _, _ = raw_ev.evaluate(cand_same, jax.random.PRNGKey(1))
+        assert not np.isfinite(raw_losses).all()  # degenerate at 30q
+
+        log_ev = CandidateEvaluator(
+            goal_graph, gp, n_iter=10, max_iterations=60,
+            method="adam", learning_rate=5e-2, loss="log_fidelity",
+        )
+        l_same, _, _ = log_ev.evaluate(cand_same, jax.random.PRNGKey(1),
+                                       repeats=2)
+        l_weak, _, _ = log_ev.evaluate(cand_weak, jax.random.PRNGKey(1),
+                                       repeats=2)
+        assert np.isfinite(l_same).all() and np.isfinite(l_weak).all()
+        # the full-rank candidate must rank strictly better than the
+        # rank-1 (product-state) one
+        assert l_same.min() < l_weak.min()

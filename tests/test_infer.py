@@ -187,15 +187,54 @@ class TestLargeNInference:
             np.asarray(dense), np.asarray(resc), atol=1e-4
         )
 
-    def test_sample_30q_finite(self):
+    def test_30q_cdf_finite_and_normalized(self):
+        """One qubit's rescaled environment at 30 qubits (the full sampler
+        compiles one such program per qubit): the grid density and CDF are
+        finite and normalized where the dense env overflows f32."""
+        from tneq_tpu.graph import mps_graph, parse_graph
+        from tneq_tpu.model.qctn import init_params
+        from tneq_tpu.ops.contract import make_siamese_env_fn
+        from tneq_tpu.ops.features import measurement_matrices
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(30, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        # un-normalize so the dense env overflows f32 (~2^ncores)
+        params = {k: 2.0 * v for k, v in params.items()}
+        states = tuple(basis_states(g, dtype=jnp.float32))
+        pers = [
+            jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (8, 2, 2))
+            for _ in range(30)
+        ]
+        dense_env = jax.jit(make_siamese_env_fn(g, 15))(
+            params, states, pers
+        )
+        assert not np.isfinite(np.asarray(dense_env)).all()
+        env, logs = jax.jit(make_siamese_env_fn(g, 15, rescale=True))(
+            params, states, pers
+        )
+        assert np.isfinite(np.asarray(env)).all()
+        grid_x = jnp.linspace(-5.0, 5.0, 50)
+        mx_grid = measurement_matrices(grid_x[:, None], 2)[:, 0]
+        dens = jnp.einsum("skl,gkl->sg", env, mx_grid)
+        dens = jnp.clip(dens, min=0.0)
+        cdf = jnp.cumsum(dens, axis=1)
+        cdf = cdf / (cdf[:, -1:] + 1e-10)
+        arr = np.asarray(cdf)
+        assert np.isfinite(arr).all()
+        np.testing.assert_allclose(arr[:, -1], 1.0, atol=1e-5)
+        assert (np.diff(arr, axis=1) >= -1e-6).all()  # monotone CDFs
+
+    def test_sample_16q_auto_rescale(self):
+        """Full sampler at 16 qubits: auto-rescale kicks in (>=16q) and
+        draws stay finite and in bounds."""
         from tneq_tpu.graph import mps_graph, parse_graph
         from tneq_tpu.infer.sampling import sample
         from tneq_tpu.model.qctn import init_params
         from tneq_tpu.train.trainer import basis_states
 
-        g = parse_graph(mps_graph(30, dim=2))
+        g = parse_graph(mps_graph(16, dim=2))
         params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
-        # un-normalize so the dense siamese value overflows f32 (~4^30)
         params = {k: 2.0 * v for k, v in params.items()}
         states = basis_states(g, dtype=jnp.float32)
         out = sample(
@@ -203,10 +242,10 @@ class TestLargeNInference:
             key=jax.random.PRNGKey(1), grid_size=50, dtype=jnp.float32,
         )
         arr = np.asarray(out)
-        assert arr.shape == (8, 30)
+        assert arr.shape == (8, 16)
         assert np.isfinite(arr).all()
         assert (arr >= -5.0).all() and (arr <= 5.0).all()
-        # samples must not all collapse to one grid point (a flat/broken
+        # draws must not all collapse to one grid point (a flat/broken
         # CDF symptom)
         assert len(np.unique(arr.round(3))) > 4
 
@@ -223,8 +262,8 @@ class TestLargeNInference:
         states = basis_states(g, dtype=jnp.float32)
         x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 30)),
                         jnp.float32)
-        mx, _ = generate_data(x, 2)
-        measures = [mx[:, q].astype(jnp.float32) for q in range(30)]
+        mx_list, _ = generate_data(x, 2, dtype=jnp.float32)
+        measures = mx_list
         logp = full_probability(g, params, states, measures, log=True)
         assert np.isfinite(np.asarray(logp)).all()
         # the dense value itself is NOT representable here
@@ -243,8 +282,8 @@ class TestLargeNInference:
         states = basis_states(g, dtype=jnp.complex64)
         x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)),
                         jnp.float32)
-        mx, _ = generate_data(x, 2)
-        measures = [mx[:, q].astype(jnp.complex64) for q in range(4)]
+        mx_list, _ = generate_data(x, 2, dtype=jnp.complex64)
+        measures = mx_list
         p = np.asarray(full_probability(g, params, states, measures))
         logp = np.asarray(
             full_probability(g, params, states, measures, log=True)
@@ -263,8 +302,8 @@ class TestLargeNInference:
         states = basis_states(g, dtype=jnp.complex64)
         x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 3)),
                         jnp.float32)
-        mx, _ = generate_data(x, 2)
-        measures = [mx[:, q].astype(jnp.complex64) for q in range(3)]
+        mx_list, _ = generate_data(x, 2, dtype=jnp.complex64)
+        measures = mx_list
         a = conditional_probability(
             g, params, states, measures, [0, 1, 2], [0], rescale=False
         )

@@ -40,6 +40,11 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--train-steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--method", default="adam")
+    p.add_argument("--loss", choices=["overlap_mse", "log_fidelity"],
+                   default="overlap_mse",
+                   help="candidate fitness objective: the reference raw "
+                        "overlap MSE, or the scale-safe -log F (required "
+                        "beyond ~24 qubits)")
     p.add_argument("--timeout", type=float, default=1800.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", type=str, default=None)
@@ -67,6 +72,7 @@ def main(argv: Optional[Sequence[str]] = None):
         method=args.method,
         learning_rate=args.lr,
         timeout=args.timeout,
+        loss=args.loss,
     )
     search_kwargs = dict(
         generation_property={

@@ -102,25 +102,41 @@ def run_8q(args) -> dict:
             break
     validate_s = time.time() - t0
     t0 = time.time()
-    key, sub = jax.random.split(key)
-    if args.batched:
-        # vmapped lanes: an 8-lane vmap of the while_loop fit has crashed
-        # this tunnel's TPU worker (kernel fault) — opt-in only
-        pruned, attempts = symmetry_breaking_batched(
-            exp, target, sub, warm_params=fitted, verbose=True
-        )
-    else:
-        pruned, attempts = symmetry_breaking(
-            exp, target, sub, warm_params=fitted, verbose=True
-        )
+    # reference protocol: multiple symmetry-breaking restarts keeping the
+    # best pruned set (train.py:40-76 runs 20; --restarts bounds it here)
+    best_pruned: list = []
+    attempts = 0
+    restart_pruned = []
+    for restart in range(max(1, args.restarts)):
+        key, sub = jax.random.split(key)
+        if args.batched:
+            pruned, count = symmetry_breaking_batched(
+                exp, target, sub, warm_params=fitted, verbose=True
+            )
+        else:
+            pruned, count = symmetry_breaking(
+                exp, target, sub, warm_params=fitted, verbose=True
+            )
+        attempts += count
+        restart_pruned.append(sorted(pruned))
+        log(f"restart {restart}: pruned {len(pruned)}/{exp.graph.ncores} "
+            f"({count} candidate fits)")
+        if len(pruned) > len(best_pruned):
+            best_pruned = sorted(pruned)
     prune_s = time.time() - t0
+    planted = sorted(target_mask)
     return {
         "config": f"{args.mode}-8q5c-{'pair' if pair else 'f32'}",
         "validated": bool(ok),
         "validate_fidelity": float(fid),
         "validate_steps": int(steps),
         "validate_s": round(validate_s, 1),
-        "pruned": len(pruned),
+        "restarts": max(1, args.restarts),
+        "pruned": len(best_pruned),
+        "pruned_list": best_pruned,
+        "planted_mask": planted,
+        "planted_recovered": len(set(best_pruned) & set(planted)),
+        "restart_pruned_counts": [len(r) for r in restart_pruned],
         "n_cores": exp.graph.ncores,
         "target_masked": len(target_mask),
         "prune_attempts": attempts,
@@ -216,7 +232,7 @@ def run_32q(args) -> dict:
 
 def attempt(args) -> int:
     try:
-        _alarm(CHILD_BUDGET_S)
+        _alarm(args.budget)
         dev = _first_fetch()
         t0 = time.time()
         rec = run_32q(args) if args.mode == "32q" else run_8q(args)
@@ -241,13 +257,20 @@ def main(argv=None) -> int:
     p.add_argument("--prune-steps", type=int, default=2000)
     p.add_argument("--lane-chunk", type=int, default=8)
     p.add_argument("--batched", action="store_true",
-                   help="vmapped candidate lanes (crashes this tunnel's "
-                        "TPU worker; fine on CPU)")
+                   help="vmapped candidate lanes via chunked lockstep "
+                        "fits (fit.batched; bounded per-dispatch programs "
+                        "— safe on the tunnel, unlike the old whole-fit "
+                        "vmap)")
+    p.add_argument("--budget", type=int, default=CHILD_BUDGET_S,
+                   help="child-process wall-clock budget in seconds")
     p.add_argument("--sync-every", type=int, default=8,
                    help="host-loop fits: async steps per early-exit fetch")
     p.add_argument("--max-outer", type=int, default=1,
                    help="outer pruning passes (reference: 500; 1 bounds "
                         "the bench stage)")
+    p.add_argument("--restarts", type=int, default=1,
+                   help="symmetry-breaking restarts keeping the best "
+                        "pruned set (reference train.py: 20)")
     p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
                default="chunk",
                help="network fits: 'fit' compiles the whole while_loop "
@@ -272,7 +295,9 @@ def main(argv=None) -> int:
            "--prune-steps", str(args.prune_steps),
            "--lane-chunk", str(args.lane_chunk),
            "--max-outer", str(args.max_outer),
+           "--restarts", str(args.restarts),
            "--sync-every", str(args.sync_every),
+           "--budget", str(args.budget),
            "--jit-scope", args.jit_scope] + (
                ["--batched"] if args.batched else [])
     if args.cpu:
@@ -281,7 +306,7 @@ def main(argv=None) -> int:
     if args.cpu:
         env["TNEQ_PLATFORM"] = "cpu"
     r = subprocess.run(cmd, capture_output=True, text=True,
-                       timeout=CHILD_BUDGET_S + 120, env=env)
+                       timeout=args.budget + 120, env=env)
     sys.stderr.write(r.stderr[-4000:])
     for line in r.stdout.splitlines():
         if line.startswith("RESULT "):

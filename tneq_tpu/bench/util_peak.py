@@ -46,7 +46,8 @@ def _alarm(seconds: int):
     signal.alarm(seconds)
 
 
-def measure(dims, n_qubits: int, dtype_name: str, flop_budget: float):
+def measure(dims, n_qubits: int, dtype_name: str, flop_budget: float,
+            phys: int = 2):
     import jax
     import jax.numpy as jnp
     import jax.random as jrandom
@@ -59,7 +60,11 @@ def measure(dims, n_qubits: int, dtype_name: str, flop_budget: float):
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     results = []
     for dim in dims:
-        g = parse_graph(mps_graph(n_qubits, dim=dim))
+        # physical legs stay small (default 2); only the BOND grows — the
+        # canonical MPS whose transfer steps are [D,D]x[D,phys^2·D]
+        # matmuls (a dim-coupled boundary grows cores as dim^4 and OOMs
+        # the compiler past D=64)
+        g = parse_graph(mps_graph(n_qubits, dim=dim, phys=min(phys, dim)))
         fl = network_fidelity_step_flops(g, dtype_name, gradient=True)
         # fixed FLOP budget per sweep point -> every point times a
         # comparable chunk of device work regardless of D
@@ -84,12 +89,19 @@ def measure(dims, n_qubits: int, dtype_name: str, flop_budget: float):
 
             return jax.lax.scan(body, p, None, length=steps_n)[1][-1]
 
-        t0 = time.time()
-        compiled = jax.jit(run).lower(params, target).compile()
-        compile_s = time.time() - t0
-        t0 = time.time()
-        out = float(compiled(params, target))  # scalar fetch = barrier
-        dt = time.time() - t0
+        try:
+            t0 = time.time()
+            compiled = jax.jit(run).lower(params, target).compile()
+            compile_s = time.time() - t0
+            t0 = time.time()
+            out = float(compiled(params, target))  # scalar fetch = barrier
+            dt = time.time() - t0
+        except Exception as e:
+            # one dim failing (e.g. a remote-compile helper OOM) must not
+            # sink the sweep; record and continue with the next point
+            log(f"D={dim} failed: {type(e).__name__}: {str(e)[:120]}")
+            results.append({"bond_dim": dim, "error": f"{type(e).__name__}"})
+            continue
         sps = steps_n / dt
         tflops = sps * fl / 1e12
         rec = {
@@ -122,11 +134,15 @@ def attempt(args) -> int:
             v = float(jnp.ones((4,)).sum())
             log(f"first fetch: {v} ({time.time() - t0:.1f}s)")
         dims = [int(d) for d in args.dims.split(",")]
-        results = measure(dims, args.n_qubits, args.dtype, args.flop_budget)
-        best = max(results, key=lambda r: r["mxu_util"])
+        results = measure(dims, args.n_qubits, args.dtype, args.flop_budget,
+                          phys=args.phys)
+        measured = [r for r in results if "mxu_util" in r]
+        if not measured:
+            raise RuntimeError("no sweep point measured")
+        best = max(measured, key=lambda r: r["mxu_util"])
         rec = {
             "bench": "util_peak",
-            "workload": f"network_fidelity_grad_step_{args.n_qubits}q_mps",
+            "workload": f"network_fidelity_grad_step_{args.n_qubits}q_mps_phys{args.phys}",
             "dtype": args.dtype,
             "device": dev,
             "sweep": results,
@@ -152,6 +168,8 @@ def main(argv=None) -> int:
     p.add_argument("--n-qubits", type=int, default=16)
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32")
+    p.add_argument("--phys", type=int, default=2,
+                   help="physical (boundary) leg rank; bonds carry --dims")
     p.add_argument("--flop-budget", type=float, default=4e13,
                    help="timed FLOPs per sweep point (sets the step count)")
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
@@ -166,7 +184,8 @@ def main(argv=None) -> int:
 
     cmd = [sys.executable, "-m", "tneq_tpu.bench.util_peak", "--attempt",
            "--dims", args.dims, "--n-qubits", str(args.n_qubits),
-           "--dtype", args.dtype, "--flop-budget", str(args.flop_budget)]
+           "--dtype", args.dtype, "--flop-budget", str(args.flop_budget),
+           "--phys", str(args.phys)]
     if args.cpu:
         cmd.append("--cpu")
     env = dict(os.environ)

@@ -42,11 +42,24 @@ class CandidateEvaluator:
         method: str = "adam",
         learning_rate: float = 1e-2,
         dtype=jnp.float32,
+        loss: str = "overlap_mse",
     ):
         """``n_iter``: steps per device chunk (timeout checked between
         chunks, reference ``AgentBehavier.n_iter``);
         ``max_iterations``: total optimization budget per evaluation;
-        ``timeout``: hard wall-clock limit per evaluation."""
+        ``timeout``: hard wall-clock limit per evaluation.
+
+        ``loss``: ``'overlap_mse'`` is the reference agent objective
+        ``|⟨goal|cand⟩ − 1|²`` (``copteinsum.py:560-614``) — fine at the
+        reference's 3–5 qubits, but float32-degenerate beyond ~24 qubits
+        (the raw overlap under/overflows, so every candidate scores the
+        same).  ``'log_fidelity'`` is −log F computed from per-step
+        rescaled log-overlaps (``ops/pairwise.make_log_abs_two_network_fn``)
+        — finite and discriminative at 30+ qubits, the scale-safe mode for
+        the BASELINE "genetic search on a 30+-qubit circuit" workload.
+        """
+        if loss not in ("overlap_mse", "log_fidelity"):
+            raise ValueError(f"unknown loss {loss!r}")
         self.goal_graph = goal_graph
         self.goal_params = goal_params
         self.n_iter = n_iter
@@ -56,6 +69,7 @@ class CandidateEvaluator:
         self.method = method
         self.learning_rate = learning_rate
         self.dtype = dtype
+        self.loss = loss
         self._cache: Dict[str, Callable] = {}
 
     def clone(self, device=None) -> "CandidateEvaluator":
@@ -82,6 +96,7 @@ class CandidateEvaluator:
             method=self.method,
             learning_rate=self.learning_rate,
             dtype=self.dtype,
+            loss=self.loss,
         )
         # Share the jit cache: one trace per topology across all workers
         # (each device still gets its own executable under the same jitted
@@ -95,13 +110,34 @@ class CandidateEvaluator:
         if graph.signature in self._cache:
             return self._cache[graph.signature]
 
-        overlap_fn = make_two_network_fn(graph, self.goal_graph)
         optimizer = make_optimizer(self.method, lr=self.learning_rate)
 
-        def loss_fn(params, goal_params):
-            out = overlap_fn(params, goal_params)
-            d = out - 1.0
-            return jnp.real(d) ** 2 + jnp.imag(d) ** 2
+        if self.loss == "log_fidelity":
+            from ..ops.pairwise import make_log_abs_two_network_fn
+
+            log_cg = make_log_abs_two_network_fn(graph, self.goal_graph)
+            log_cc = make_log_abs_two_network_fn(graph, graph)
+            log_gg = make_log_abs_two_network_fn(
+                self.goal_graph, self.goal_graph
+            )
+
+            def loss_fn(params, goal_params):
+                # −log F: scale-invariant, float32-safe at any qubit count
+                # (per-step rescaled executors); log_gg is loop-invariant
+                # and hoisted out of the scan by XLA
+                return -(
+                    2.0 * log_cg(params, goal_params)
+                    - log_cc(params, params)
+                    - log_gg(goal_params, goal_params)
+                )
+
+        else:
+            overlap_fn = make_two_network_fn(graph, self.goal_graph)
+
+            def loss_fn(params, goal_params):
+                out = overlap_fn(params, goal_params)
+                d = out - 1.0
+                return jnp.real(d) ** 2 + jnp.imag(d) ** 2
 
         def one_restart(params, opt_state, goal_params):
             def body(carry, _):

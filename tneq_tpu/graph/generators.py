@@ -42,13 +42,20 @@ def _line(entries: Sequence[tuple], in_rank: int, out_rank: int) -> str:
     return "".join(parts)
 
 
-def mps_graph(n: int, dim: int = 3) -> str:
+def mps_graph(n: int, dim: int = 3, phys: int = None) -> str:
     """MPS chain over ``n`` qubits: core i couples qubits (i, i+1).
 
-    Reference: ``qctn.py:43-70`` (``generate_mps_graph``).
+    Reference: ``qctn.py:43-70`` (``generate_mps_graph``) — there the
+    circuit boundary ranks equal the bond dimension.  ``phys`` decouples
+    them (boundary legs = ``phys``, internal bonds = ``dim``): the
+    canonical physical-dim-``phys`` / bond-``dim`` MPS, whose cores are
+    ``[dim, phys, phys, dim]`` — the shape the large-bond MXU-utilization
+    sweeps need (a coupled boundary would grow cores as dim^4).
     """
     if n < 2:
         raise ValueError("mps_graph needs n >= 2 qubits")
+    if phys is None:
+        phys = dim
     lines = []
     for q in range(n):
         if q == 0:
@@ -57,7 +64,7 @@ def mps_graph(n: int, dim: int = 3) -> str:
             entries = [(get_symbol(n - 2), 0)]
         else:
             entries = [(get_symbol(q - 1), dim), (get_symbol(q), 0)]
-        lines.append(_line(entries, dim, dim))
+        lines.append(_line(entries, phys, phys))
     return "\n".join(lines)
 
 
