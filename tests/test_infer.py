@@ -199,8 +199,9 @@ class TestLargeNInference:
 
         g = parse_graph(mps_graph(30, dim=2))
         params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
-        # un-normalize so the dense env overflows f32 (~2^ncores)
-        params = {k: 2.0 * v for k, v in params.items()}
+        # un-normalize so the dense env overflows f32: the env is a
+        # product of ~2 n_cores tensors, so x8 per core adds ~8^58
+        params = {k: 8.0 * v for k, v in params.items()}
         states = tuple(basis_states(g, dtype=jnp.float32))
         pers = [
             jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (8, 2, 2))
@@ -258,7 +259,7 @@ class TestLargeNInference:
 
         g = parse_graph(mps_graph(30, dim=2))
         params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
-        params = {k: 2.0 * v for k, v in params.items()}
+        params = {k: 16.0 * v for k, v in params.items()}
         states = basis_states(g, dtype=jnp.float32)
         x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 30)),
                         jnp.float32)
