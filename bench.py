@@ -280,9 +280,10 @@ def main():
         tflops = jax_sps * flops_per_step / 1e12
         rec["flops_per_step"] = flops_per_step
         rec["tflops"] = round(tflops, 4)
-        from tneq_tpu.bench.flops import mxu_utilization
+        from tneq_tpu.bench.flops import mxu_utilization, practical_utilization
 
         rec["mxu_util"] = round(mxu_utilization(tflops, "float32"), 6)
+        rec["practical_util"] = round(practical_utilization(tflops), 6)
     print(json.dumps(rec))
 
 

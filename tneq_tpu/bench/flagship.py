@@ -223,7 +223,7 @@ def run_32q(args) -> dict:
         "steps_per_sec": round(sps, 2),
         "flops_per_step": fl,
         "tflops": round(tflops, 4),
-        "mxu_util": round(mxu_utilization(tflops, "float32"), 6),
+        "mxu_util": round(mxu_utilization(tflops, "float32", precision="highest"), 6),
         "prune_candidate_infid": prune_infid,
         "prune_candidate_steps": prune_steps_taken,
         "prune_s": round(prune_s, 1),

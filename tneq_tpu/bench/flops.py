@@ -29,15 +29,30 @@ __all__ = [
     "mxu_utilization",
 ]
 
-# Practical single-chip peaks for utilization reporting.  v5e bf16 MXU peak
-# is ~197 TFLOP/s; f32 runs as multi-pass bf16 — the measured practical
-# ceiling on this chip is ~50 TFLOP/s (chained 4096^2 f32 matmuls,
-# docs/ROUND1.md).  complex64 lowers to 4 real products.
+# Single-chip peaks for utilization reporting.  The v5e MXU computes in
+# bf16 (~197 TFLOP/s theoretical); under JAX's DEFAULT matmul precision,
+# float32 (and complex64, via real pairs) arrays are ALSO fed through
+# single-pass bf16 MXU ops with f32 accumulation, so their utilization
+# denominator is the same 197 — measured proof: the D=256 f32 training
+# step sustains 66.9 TFLOP/s (MXU_r03.json), far above the 50 TFLOP/s
+# that round 1's HIGHEST-precision chained-matmul probe measured and
+# round 2 wrongly used as the f32 denominator.  "highest" precision f32
+# runs ~6 bf16 passes per product (peak ≈ 197/6).  The measured
+# practical ceiling of chained large matmuls on this chip is
+# MEASURED_MATMUL_TFLOPS (docs/ROUND1.md) — utilization against it is
+# the honest "fraction of what this chip actually delivers" number.
 PEAK_TFLOPS: Dict[str, float] = {
     "bfloat16": 197.0,
-    "float32": 50.0,
-    "complex64": 50.0,
+    "float32": 197.0,
+    "complex64": 197.0,
 }
+PEAK_TFLOPS_HIGHEST: Dict[str, float] = {
+    "bfloat16": 197.0,
+    "float32": 197.0 / 6.0,
+    "complex64": 197.0 / 6.0,
+}
+# chained 8192^2 bf16 matmuls measured on this chip (round 1/2)
+MEASURED_MATMUL_TFLOPS = 133.5
 
 
 def _complex_factor(dtype) -> float:
@@ -127,8 +142,23 @@ def siamese_flops(
     return fwd * (3.0 if gradient else 1.0)
 
 
-def mxu_utilization(tflops_achieved: float, dtype=np.float32) -> float:
-    """Fraction of the practical single-chip peak for this dtype."""
+def mxu_utilization(
+    tflops_achieved: float, dtype=np.float32, precision: str = "default"
+) -> float:
+    """Fraction of the single-chip MXU peak for this dtype/precision.
+
+    ``precision='default'`` (JAX default: single-pass bf16 MXU for every
+    dtype) divides by the bf16 theoretical peak; ``'highest'`` by the
+    multi-pass-f32 peak.
+    """
     key = np.dtype(dtype).name
-    peak = PEAK_TFLOPS.get(key, PEAK_TFLOPS["float32"])
+    table = PEAK_TFLOPS_HIGHEST if precision == "highest" else PEAK_TFLOPS
+    peak = table.get(key, table["float32"])
     return tflops_achieved / peak
+
+
+def practical_utilization(tflops_achieved: float) -> float:
+    """Fraction of this chip's MEASURED chained-matmul throughput
+    (133.5 TFLOP/s bf16) — what the hardware demonstrably delivers when
+    fed pure large matmuls."""
+    return tflops_achieved / MEASURED_MATMUL_TFLOPS

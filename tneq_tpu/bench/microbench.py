@@ -312,7 +312,7 @@ def stage_large_network(n_qubits: int = 32, n_cells: int = 2, **_) -> Dict[str, 
         tflops = rec["steps_per_sec"] * fl / 1e12
         rec["flops_per_step"] = fl
         rec["tflops"] = round(tflops, 4)
-        rec["mxu_util"] = round(mxu_utilization(tflops, "complex64"), 6)
+        rec["mxu_util"] = round(mxu_utilization(tflops, "complex64", precision="highest"), 6)
     except Exception as e:
         rec["flops_error"] = f"{type(e).__name__}: {e}"
     try:

@@ -52,7 +52,11 @@ def measure(dims, n_qubits: int, dtype_name: str, flop_budget: float,
     import jax.numpy as jnp
     import jax.random as jrandom
 
-    from tneq_tpu.bench.flops import mxu_utilization, network_fidelity_step_flops
+    from tneq_tpu.bench.flops import (
+        mxu_utilization,
+        network_fidelity_step_flops,
+        practical_utilization,
+    )
     from tneq_tpu.graph import mps_graph, parse_graph
     from tneq_tpu.model.qctn import init_params
     from tneq_tpu.train.network_fit import network_log_fidelity
@@ -111,12 +115,15 @@ def measure(dims, n_qubits: int, dtype_name: str, flop_budget: float,
             "flops_per_step": fl,
             "tflops": round(tflops, 3),
             "mxu_util": round(mxu_utilization(tflops, dtype_name), 4),
+            "practical_util": round(practical_utilization(tflops), 4),
             "compile_s": round(compile_s, 1),
             "wall_s": round(dt, 2),
             "final_loss": out,
         }
         log(f"D={dim}: {rec['tflops']} TFLOP/s "
-            f"({100 * rec['mxu_util']:.1f}% of {dtype_name} practical peak), "
+            f"({100 * rec['mxu_util']:.1f}% of the bf16 MXU peak, "
+            f"{100 * rec['practical_util']:.1f}% of the measured "
+            f"chained-matmul ceiling), "
             f"{rec['steps_per_sec']} steps/s, compile {compile_s:.0f}s")
         results.append(rec)
     return results
@@ -148,6 +155,7 @@ def attempt(args) -> int:
             "sweep": results,
             "peak_tflops": best["tflops"],
             "peak_mxu_util": best["mxu_util"],
+            "peak_practical_util": best["practical_util"],
             "peak_bond_dim": best["bond_dim"],
         }
         signal.alarm(0)
