@@ -515,6 +515,30 @@ def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
     return rec
 
 
+def stage_util_peak(
+    dims=(64, 256, 512), n_qubits: int = 16, flop_budget: float = 2e11, **_
+) -> Dict[str, Any]:
+    """MXU operating point on the real training step: large-bond phys-2
+    MPS network-fidelity gradient steps (see ``bench/util_peak.py``; the
+    standalone runner is the channel-protocol-safe TPU version — this
+    stage is the in-process variant for the hardware suite).  Evidence
+    artifact of the >=50%-MXU north star: MXU_r03.json records D=256 at
+    66.9 TFLOP/s = 50.1% of the chip's measured chained-matmul ceiling."""
+    from .util_peak import measure
+
+    results = measure(list(dims), n_qubits, "float32", flop_budget, phys=2)
+    measured = [r for r in results if "tflops" in r]
+    best = max(measured, key=lambda r: r["tflops"]) if measured else {}
+    return {
+        "stage": "util_peak",
+        "device": jax.devices()[0].platform,
+        "sweep": results,
+        "peak_tflops": best.get("tflops"),
+        "peak_bond_dim": best.get("bond_dim"),
+        "peak_practical_util": best.get("practical_util"),
+    }
+
+
 ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "1_env_audit": stage_env_audit,
     "2_matmul_peak": stage_matmul_peak,
@@ -526,6 +550,7 @@ ALL_STAGES: Dict[str, Callable[..., Dict[str, Any]]] = {
     "6b_tn_workload": stage_tn_workload,
     "7_large_network": stage_large_network,
     "7b_bond_sweep": stage_bond_sweep,
+    "7c_util_peak": stage_util_peak,
     "8_fsdp_memory": stage_fsdp_memory,
     "9_flagship_32q": stage_flagship_32q,
 }
