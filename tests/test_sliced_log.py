@@ -153,13 +153,56 @@ class TestMeshedNetworkFit:
             results["single"][0], results["mesh"][0], rtol=1e-3, atol=1e-5
         )
 
-    def test_pair_mode_with_mesh_raises(self, mesh8):
+    def test_pair_sliced_matches_pair_unsliced(self, mesh8):
+        """The stacked-real (pair) sliced overlap — the complex flagship's
+        multi-chip path on a complex64-less TPU — matches the unsliced
+        pair executor."""
+        from tneq_tpu.ops.complex_pair import (
+            make_pair_log_abs_overlap_fn,
+            to_pair,
+        )
+
+        g = _wall(6, 3)
+        ca = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        cb = init_params(g, jax.random.PRNGKey(1), jnp.complex64)
+        pa = {k: to_pair(v) for k, v in ca.items()}
+        pb = {k: to_pair(v) for k, v in cb.items()}
+        f_sliced = make_sliced_log_overlap_fn(g, mesh8, pair=True)
+        f_ref = make_pair_log_abs_overlap_fn(g)
+        np.testing.assert_allclose(
+            float(f_sliced(pa, pb)), float(f_ref(pa, pb)),
+            rtol=1e-5, atol=1e-5,
+        )
+        # gradients (complex flagship trains through this)
+        ga = jax.grad(lambda p: f_sliced(p, pb))(pa)
+        gb = jax.grad(lambda p: f_ref(p, pb))(pa)
+        for k in ga:
+            np.testing.assert_allclose(
+                np.asarray(ga[k]), np.asarray(gb[k]), atol=3e-5
+            )
+
+    def test_pair_mesh_fit_matches_single_device(self, mesh8):
         from tneq_tpu.optim.pair_stiefel import pair_sgdg
         from tneq_tpu.train.network_fit import make_masked_network_fidelity_fit
 
         g = _wall(4, 2)
-        with pytest.raises(NotImplementedError):
-            make_masked_network_fidelity_fit(
-                g, pair_sgdg(1e-2), max_steps=5, complex_as_real=True,
-                mesh=mesh8,
+        with jax.default_device(jax.devices("cpu")[0]):
+            cx = init_params(g, jax.random.PRNGKey(0), jnp.complex64)
+        from tneq_tpu.ops.complex_pair import to_pair
+
+        p = {k: to_pair(v) for k, v in cx.items()}
+        mask = jnp.ones((g.ncores,), jnp.float32)
+        tmask = mask.at[1].set(0.0)
+        results = {}
+        for name, kwargs in (("single", {}), ("mesh", {"mesh": mesh8})):
+            fit = make_masked_network_fidelity_fit(
+                g, pair_sgdg(1e-2, momentum=0.9, stiefel=True),
+                max_steps=30, tol=1e-3, complex_as_real=True,
+                jit_scope="chunk", sync_every=10, **kwargs,
             )
+            res = fit(p, mask, p, tmask)
+            results[name] = (float(res.infidelity), int(res.steps))
+        assert results["single"][1] == results["mesh"][1]
+        np.testing.assert_allclose(
+            results["single"][0], results["mesh"][0], rtol=1e-3, atol=1e-5
+        )

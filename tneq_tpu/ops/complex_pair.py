@@ -39,6 +39,7 @@ __all__ = [
     "make_pair_core_only_fn",
     "make_pair_siamese_fn",
     "make_pair_log_abs_overlap_fn",
+    "make_pair_log_abs_two_network_fn",
     "pair_fidelity",
 ]
 
@@ -148,27 +149,56 @@ def make_pair_log_abs_overlap_fn(
     """fn(pair_a, pair_b) -> log|⟨A, B⟩| with per-step rescaling: the
     float32-stable network-fidelity overlap for complex networks on
     real-only backends (pair twin of ``pairwise.make_log_abs_overlap_fn``)."""
+    return make_pair_log_abs_two_network_fn(graph, None, max_intermediate)
+
+
+def make_pair_log_abs_two_network_fn(
+    graph_a: CircuitGraph,
+    graph_b: Optional[CircuitGraph] = None,
+    max_intermediate: int = 1 << 26,
+    signed: bool = False,
+):
+    """Pair twin of ``pairwise.make_log_abs_two_network_fn``: overlap of
+    two (possibly rank-differing, same-boundary) networks in stacked-real
+    form.  ``signed=True`` returns ``(pair_mantissa, log_scale)`` — the
+    summable form for multi-chip slice partials (``parallel/mp.py``)."""
     from .einsum_spec import two_network_spec
     from .pairwise import row_major_core_order
 
-    spec = two_network_spec(graph, graph)
+    gb = graph_b if graph_b is not None else graph_a
+    spec = two_network_spec(graph_a, gb)
     lhs, rhs = spec.equation.split("->")
     subs = lhs.split(",")
-    n = graph.ncores
-    order = row_major_core_order(graph)
+    n = graph_a.ncores
+    order_a = row_major_core_order(graph_a)
+    order_b = row_major_core_order(gb)
     perm = []
-    for k in order:
-        perm.extend((k, n + k))
+    slots = []
+    m = min(len(order_a), len(order_b))
+    for i in range(m):
+        perm.append(order_a[i])
+        slots.append(("a", graph_a.cores[order_a[i]].name))
+        perm.append(n + order_b[i])
+        slots.append(("b", gb.cores[order_b[i]].name))
+    for k in order_a[m:]:
+        perm.append(k)
+        slots.append(("a", graph_a.cores[k].name))
+    for k in order_b[m:]:
+        perm.append(n + k)
+        slots.append(("b", gb.cores[k].name))
     equation = ",".join(subs[p] for p in perm) + "->" + rhs
-    names = [graph.cores[k].name for k in order]
 
     def fn(params_a, params_b):
         ops = []
-        for name in names:
-            ops.append(params_a[name])
-            ops.append(pair_conj(params_b[name]))
+        for side, name in slots:
+            if side == "a":
+                ops.append(params_a[name])
+            else:
+                ops.append(pair_conj(params_b[name]))
         final, logs = _execute(equation, ops, rescale=True,
                                max_intermediate=max_intermediate)
+        if signed:
+            return final, logs
         return logs + 0.5 * jnp.log(pair_abs2(final) + 1e-30)
 
     return fn

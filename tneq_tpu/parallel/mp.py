@@ -278,6 +278,7 @@ def make_sliced_log_overlap_fn(
     mesh: Mesh,
     bonds: Optional[Sequence[BondKey]] = None,
     model_axis: str = "model",
+    pair: bool = False,
 ):
     """``fn(params_a, params_b) -> log|⟨A, B⟩|``, bond-sliced over
     ``model_axis`` and float32-safe at ANY qubit count.
@@ -299,6 +300,11 @@ def make_sliced_log_overlap_fn(
     Only the A side is sliced (⟨A,B⟩ sums over A's bond indices; B keeps
     full tensors), so the same ``fn`` serves ⟨p,t⟩ and ⟨p,p⟩ in the
     fidelity.
+
+    ``pair=True``: params are stacked-real pairs (``[2, *shape]``,
+    ``ops/complex_pair.py``) and slice partials contract in pair
+    arithmetic — the complex flagship's multi-chip path on backends
+    without complex64.
     """
     from ..graph.surgery import with_bond_ranks
     from ..ops.pairwise import make_log_abs_two_network_fn
@@ -331,7 +337,13 @@ def make_sliced_log_overlap_fn(
     local = -(-total // n_model)  # ceil: pad, mask the tail
 
     graph_sliced = with_bond_ranks(graph, {b: 1 for b in bonds})
-    if supports_row_scan(graph_sliced, graph):
+    if pair:
+        from ..ops.complex_pair import make_pair_log_abs_two_network_fn
+
+        overlap_slice = make_pair_log_abs_two_network_fn(
+            graph_sliced, graph, signed=True
+        )
+    elif supports_row_scan(graph_sliced, graph):
         overlap_slice = make_row_scan_log_overlap_fn(
             graph_sliced, graph_b=graph, signed=True
         )
@@ -339,6 +351,8 @@ def make_sliced_log_overlap_fn(
         overlap_slice = make_log_abs_two_network_fn(
             graph_sliced, graph, signed=True
         )
+    # pair tensors carry a leading [2] axis: core axes shift by one
+    axis_off = 1 if pair else 0
 
     def slice_params(params, flat_idx):
         idxs = []
@@ -353,7 +367,9 @@ def make_sliced_log_overlap_fn(
             # keepdims slices (size-1 axes): positions stay valid in any
             # order and shapes match graph_sliced
             for b_i, axis in axes:
-                arr = jax.lax.dynamic_slice_in_dim(arr, idxs[b_i], 1, axis)
+                arr = jax.lax.dynamic_slice_in_dim(
+                    arr, idxs[b_i], 1, axis + axis_off
+                )
             out[name] = arr
         return out
 
@@ -376,7 +392,7 @@ def make_sliced_log_overlap_fn(
             return m, hi
 
         dtype = jax.tree.leaves(params_a)[0].dtype
-        m0 = jnp.zeros((), dtype)
+        m0 = jnp.zeros((2,) if pair else (), dtype)
         l0 = jnp.full((), _NEG, jnp.float32)
         # the body reads axis_index -> carries vary over the model axis
         m0 = jax.lax.pcast(m0, (model_axis,), to="varying")
@@ -391,6 +407,10 @@ def make_sliced_log_overlap_fn(
         # rides the differentiable psum of mantissas
         gmax = jax.lax.stop_gradient(jax.lax.pmax(l, model_axis))
         m_tot = jax.lax.psum(m * jnp.exp(l - gmax), model_axis)
+        if pair:
+            from ..ops.complex_pair import pair_abs2 as _pabs2
+
+            return gmax + 0.5 * jnp.log(_pabs2(m_tot) + _TINY)
         return gmax + jnp.log(jnp.abs(m_tot) + _TINY)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P())

@@ -197,11 +197,6 @@ def make_masked_network_fidelity_fit(
     from ..ops.pairwise import make_log_abs_overlap_fn
 
     use_mesh = mesh is not None and mesh.shape[model_axis] > 1
-    if use_mesh and complex_as_real:
-        raise NotImplementedError(
-            "mesh-sliced fits are float32/complex-native only; the "
-            "stacked-real pair lowering has no sliced executor yet"
-        )
     mid_shapes = {c.shape for c in graph.cores[1:-1]}
     bonds = {graph.cores[0].shape[-1], graph.cores[-1].shape[0]}
     for s in mid_shapes:
@@ -218,7 +213,7 @@ def make_masked_network_fidelity_fit(
         from ..parallel.mp import make_sliced_log_overlap_fn
 
         generic_overlap = make_sliced_log_overlap_fn(
-            graph, mesh, slice_bonds, model_axis
+            graph, mesh, slice_bonds, model_axis, pair=complex_as_real
         )
     elif complex_as_real:
         from ..ops.complex_pair import make_pair_log_abs_overlap_fn
