@@ -180,8 +180,8 @@ class TestLargeNInference:
         states = basis_states(g, dtype=jnp.float32)
         kw = dict(num_samples=64, K=2, key=jax.random.PRNGKey(1),
                   grid_size=100, dtype=jnp.float32)
-        dense = sample(g, params, states, rescale=False, **kw)
-        resc = sample(g, params, states, rescale=True, **kw)
+        dense = sample(g, params, states, rescale=False, chain=False, **kw)
+        resc = sample(g, params, states, rescale=True, chain=False, **kw)
         # identical draws: the scale cancels exactly in the CDF
         np.testing.assert_allclose(
             np.asarray(dense), np.asarray(resc), atol=1e-4
@@ -241,6 +241,7 @@ class TestLargeNInference:
         out = sample(
             g, params, states, num_samples=8, K=2,
             key=jax.random.PRNGKey(1), grid_size=50, dtype=jnp.float32,
+            chain=False,
         )
         arr = np.asarray(out)
         assert arr.shape == (8, 16)
@@ -312,3 +313,47 @@ class TestLargeNInference:
             g, params, states, measures, [0, 1, 2], [0], rescale=True
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+
+class TestChainSampler:
+    """O(1)-compile MPS-chain sampler (infer/chain_sampling.py): same key
+    sequence and scale-invariant CDFs -> draws match the generic sampler
+    EXACTLY."""
+
+    @pytest.mark.parametrize("dtype", [jnp.complex64, jnp.float32])
+    def test_draws_match_generic_exactly(self, dtype):
+        from tneq_tpu.graph import mps_graph
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(6, dim=3))
+        params = init_params(g, jax.random.PRNGKey(0), dtype)
+        states = basis_states(g, dtype=dtype)
+        kw = dict(num_samples=32, K=3, key=jax.random.PRNGKey(1),
+                  grid_size=80, dtype=dtype)
+        a = sample(g, params, states, chain=False, **kw)
+        b = sample(g, params, states, **kw)  # auto-dispatches to chain
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_30q_fast_and_finite(self):
+        import time
+
+        from tneq_tpu.graph import mps_graph
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(30, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        params = {k: 8.0 * v for k, v in params.items()}
+        states = basis_states(g, dtype=jnp.float32)
+        t0 = time.time()
+        out = sample(
+            g, params, states, num_samples=32, K=2,
+            key=jax.random.PRNGKey(1), grid_size=100, dtype=jnp.float32,
+        )
+        wall = time.time() - t0
+        arr = np.asarray(out)
+        assert arr.shape == (32, 30)
+        assert np.isfinite(arr).all()
+        assert len(np.unique(arr.round(3))) > 8
+        # the generic path needs ~30 whole-network compiles (minutes);
+        # the chain sweep compiles a handful of tiny programs
+        assert wall < 120, f"chain sampler too slow: {wall:.0f}s"

@@ -1,0 +1,248 @@
+"""O(1)-compile inverse-CDF sampling for MPS-chain circuits.
+
+The generic sampler (``infer/sampling.py``) compiles one whole-network
+environment program per qubit — ~20 s each at 30 qubits (the per-step
+rescaled pairwise env unrolls with the network).  For MPS chains (core i
+on qubits (i, i+1), ``ops/mps_sweep.is_mps_chain``) the classic
+left-to-right MPS sampling sweep needs only a HANDFUL of compiled
+programs, independent of the qubit count:
+
+1.  absorb the input states into the cores → site tensors
+    ``A_0 [o_0, b]``, ``A_i [a, o_i, b]``, ``A_last [a, o_{n-2}, o_{n-1}]``;
+2.  precompute right environments ``R_i [b, b̄]`` (identity measures on
+    everything right of bond i) by one right-to-left pass — they do NOT
+    depend on sampled values;
+3.  sweep left to right: the open-qubit environment is the tiny
+    three-tensor combine ``L·A·conj(A)·R``; after drawing ``y_q``,
+    absorb ``Mx(y_q)`` into the per-sample left environment ``L``.
+
+Every step renormalizes (per sample for ``L``) — scale-invariant CDFs,
+float32-safe at any depth.  The middle-qubit combine/absorb programs are
+shape-uniform, so XLA compiles them once.
+
+The reference sampler (``engine_siamese.py:740-915``) re-contracts the
+full network as an S·G batch per qubit and has no chain specialization.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.dsl import CircuitGraph
+from ..ops.contract import abs_square
+from ..ops.features import measurement_matrices
+
+__all__ = ["supports_chain_sampling", "chain_sample"]
+
+_TINY = 1e-30
+
+
+def _site_tensors(graph: CircuitGraph, params, states):
+    """Absorb input states; return site tensors in canonical axis order
+    ``[left_bond?, out_legs..., right_bond?]`` (outs ascending qubit).
+    Returns None when the chain deviates from the canonical MPS layout."""
+    n = graph.ncores
+    sites = []
+    for i, core in enumerate(graph.cores):
+        arr = params[core.name]
+        # classify axes of the raw tensor (in_edges then out_edges)
+        axes = []
+        for is_out, edges in ((False, core.in_edges), (True, core.out_edges)):
+            for e in edges:
+                if e.neighbor == -1:
+                    axes.append(("out" if is_out else "state", e.qubit))
+                elif e.neighbor == i - 1:
+                    axes.append(("left", e.qubit))
+                elif e.neighbor == i + 1:
+                    axes.append(("right", e.qubit))
+                else:
+                    return None
+        # absorb state vectors (contract each 'state' axis with its qubit's
+        # input state), tracking positions
+        # process from the highest axis down so indices stay valid
+        for pos in sorted(
+            (p for p, (k, _) in enumerate(axes) if k == "state"), reverse=True
+        ):
+            q = axes[pos][1]
+            arr = jnp.tensordot(arr, states[q], axes=([pos], [0]))
+            axes.pop(pos)
+        # canonical order: left, outs ascending, right
+        order = (
+            [p for p, (k, _) in enumerate(axes) if k == "left"]
+            + sorted(
+                (p for p, (k, _) in enumerate(axes) if k == "out"),
+                key=lambda p: axes[p][1],
+            )
+            + [p for p, (k, _) in enumerate(axes) if k == "right"]
+        )
+        kinds = [axes[p][0] for p in order]
+        expect = (
+            (["out", "right"] if i == 0 else
+             ["left", "out", "out"] if i == n - 1 else
+             ["left", "out", "right"])
+            if n > 1
+            else ["out", "out"]
+        )
+        if kinds != expect:
+            return None
+        arr = jnp.transpose(arr, order)
+        sites.append(arr)
+    return sites
+
+
+def supports_chain_sampling(graph: CircuitGraph) -> bool:
+    from ..ops.mps_sweep import is_mps_chain
+
+    return graph.ncores >= 2 and is_mps_chain(graph)
+
+
+def _norm_rows(x, batch_axes: int):
+    """Max-abs normalize over all but the leading ``batch_axes`` axes."""
+    red = tuple(range(batch_axes, x.ndim))
+    s = jnp.max(jnp.abs(x), axis=red, keepdims=True) + _TINY
+    return x / jax.lax.stop_gradient(s)
+
+
+def chain_sample(
+    graph: CircuitGraph,
+    params,
+    states: Sequence[jax.Array],
+    num_samples: int,
+    K: int,
+    key: jax.Array,
+    bounds: Tuple[float, float] = (-5.0, 5.0),
+    grid_size: int = 200,
+    density_power: int = 1,
+    dtype=jnp.complex64,
+) -> jax.Array:
+    """MPS-chain sampler; same semantics as :func:`tneq_tpu.infer.sample`."""
+    nq = graph.nqubits
+    S, G = num_samples, grid_size
+    grid_x = np.linspace(bounds[0], bounds[1], G, dtype=np.float32)
+    mx_grid = measurement_matrices(jnp.asarray(grid_x)[:, None], K)[:, 0]
+    mx_grid = mx_grid.astype(dtype)
+    grid_x_d = jnp.asarray(grid_x)
+
+    sites = _site_tensors(graph, params, [jnp.asarray(s) for s in states])
+    if sites is None:
+        raise ValueError("graph is not in canonical MPS-chain layout")
+
+    # --- right environments, identity measures (sample-independent) -----
+    # r_list[i] = env to the RIGHT of core i (for i = 0..ncores-2): the
+    # last core contracted with identities gives env-right-of(ncores-2);
+    # absorbing mid core j maps env-right-of(j) -> env-right-of(j-1).
+    @jax.jit
+    def right_envs(sites_mid_stacked, last):
+        # last: [a, o, p]; identity measures on BOTH of its sites
+        r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
+
+        def body(carry, A):
+            rr = _norm_rows(
+                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
+            )
+            return rr, rr
+
+        # reverse scan: ys[i] = env AFTER absorbing mids[i:] = env right
+        # of global core i
+        _, rs = jax.lax.scan(body, r, sites_mid_stacked, reverse=True)
+        return rs, r
+
+    mids = sites[1:-1]
+    uniform = bool(mids) and all(m.shape == mids[0].shape for m in mids)
+    if mids and uniform:
+        rs, r_last = right_envs(jnp.stack(mids), sites[-1])
+        r_list = list(rs) + [r_last]
+    elif mids:
+        # non-uniform chain: per-core env programs (still one pass)
+        r = _norm_rows(
+            jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
+        )
+        r_list = [r]
+        for A in reversed(mids):
+            r = _norm_rows(
+                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), r), 0
+            )
+            r_list.append(r)
+        r_list = r_list[::-1]
+    else:  # two cores: first + last
+        r_list = [
+            _norm_rows(
+                jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
+            )
+        ]
+
+    # --- per-qubit sampling programs (compiled once per shape) ----------
+    def draw(dens, subkey):
+        dens = jnp.clip(dens, min=0.0)
+        if density_power == 2:
+            dens = dens * dens
+        cdf = jnp.cumsum(dens, axis=1)
+        cdf = cdf / (cdf[:, -1:] + 1e-10)
+        u = jax.random.uniform(subkey, (S, 1), jnp.float32)
+        idx = jnp.sum((cdf < u).astype(jnp.int32), axis=1)
+        idx = jnp.clip(idx, max=G - 2)[:, None]
+        cdf_l = jnp.take_along_axis(cdf, idx, axis=1)
+        cdf_r = jnp.take_along_axis(cdf, idx + 1, axis=1)
+        x_l = grid_x_d[idx[:, 0]][:, None]
+        x_r = grid_x_d[idx[:, 0] + 1][:, None]
+        frac = jnp.clip((u - cdf_l) / (cdf_r - cdf_l + 1e-10), 0.0, 1.0)
+        y = (x_l + frac * (x_r - x_l))[:, 0]
+        return y, measurement_matrices(y[:, None], K)[:, 0].astype(dtype)
+
+    def born(v):
+        return abs_square(v) if jnp.iscomplexobj(v) else v
+
+    @jax.jit
+    def step_first(A0, r, subkey):
+        # env over o_0: [o, ō]
+        env = jnp.einsum("ob,pd,bd->op", A0, jnp.conj(A0), r)
+        dens = born(jnp.einsum("op,gop->g", env, mx_grid))
+        dens_b = jnp.broadcast_to(dens[None], (S, G))
+        y, mx_y = draw(dens_b, subkey)
+        L = jnp.einsum("ob,sop,pd->sbd", A0, mx_y, jnp.conj(A0))
+        return y, _norm_rows(L, 1)
+
+    @jax.jit
+    def step_mid(L, A, r, subkey):
+        env = jnp.einsum("sac,aob,cpd,bd->sop", L, A, jnp.conj(A), r)
+        dens = born(jnp.einsum("sop,gop->sg", env, mx_grid))
+        y, mx_y = draw(dens, subkey)
+        L2 = jnp.einsum("sac,aob,sop,cpd->sbd", L, A, mx_y, jnp.conj(A))
+        return y, _norm_rows(L2, 1)
+
+    @jax.jit
+    def step_last_first(L, A, subkey):
+        # A: [a, o, p]; identity on p
+        env = jnp.einsum("sac,aop,cqp->soq", L, A, jnp.conj(A))
+        dens = born(jnp.einsum("soq,goq->sg", env, mx_grid))
+        y, mx_y = draw(dens, subkey)
+        # absorb M_{n-2}: L over the p legs
+        L2 = jnp.einsum("sac,aop,soq,cqr->spr", L, A, mx_y, jnp.conj(A))
+        return y, _norm_rows(L2, 1)
+
+    @jax.jit
+    def step_last_second(L, subkey):
+        dens = born(jnp.einsum("spr,gpr->sg", L, mx_grid))
+        y, _ = draw(dens, subkey)
+        return y
+
+    samples = np.zeros((S, nq), np.float32)
+    n = graph.ncores
+    key, k0 = jax.random.split(key)
+    y, L = step_first(sites[0], r_list[0], k0)
+    samples[:, 0] = np.asarray(y)
+    for i in range(1, n - 1):
+        key, ki = jax.random.split(key)
+        y, L = step_mid(L, sites[i], r_list[i], ki)
+        samples[:, i] = np.asarray(y)
+    key, ka = jax.random.split(key)
+    y, L = step_last_first(L, sites[-1], ka)
+    samples[:, n - 1] = np.asarray(y)
+    key, kb = jax.random.split(key)
+    y = step_last_second(L, kb)
+    samples[:, n] = np.asarray(y)
+    return jnp.asarray(samples)

@@ -44,6 +44,7 @@ def sample(
     density_power: int = 1,
     dtype=jnp.complex64,
     rescale=None,
+    chain=None,
 ) -> jax.Array:
     """Draw ``(num_samples, nqubits)`` continuous samples from the model.
 
@@ -56,8 +57,22 @@ def sample(
     dense contraction under/overflows (the per-qubit CDF is
     scale-invariant, so the log-scale cancels in the normalization).
     ``None`` = auto (on from 16 qubits).
+
+    MPS chains dispatch to the O(1)-compile left-to-right sweep sampler
+    (``infer/chain_sampling.py``: a handful of compiled programs instead
+    of one whole-network env program per qubit) — pass ``chain=False``
+    to force the generic path.
     """
     nq = graph.nqubits
+    if chain is None:
+        from .chain_sampling import chain_sample, supports_chain_sampling
+
+        if supports_chain_sampling(graph):
+            return chain_sample(
+                graph, params, states, num_samples, K, key,
+                bounds=bounds, grid_size=grid_size,
+                density_power=density_power, dtype=dtype,
+            )
     if rescale is None:
         rescale = nq >= 16
     if any(r != K for r in graph.output_ranks):
