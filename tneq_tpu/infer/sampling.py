@@ -64,6 +64,10 @@ def sample(
     to force the generic path.
     """
     nq = graph.nqubits
+    if any(r != K for r in graph.output_ranks):
+        raise ValueError(
+            f"K={K} must equal every qubit's output rank {graph.output_ranks}"
+        )
     if chain is None:
         from .chain_sampling import chain_sample, supports_chain_sampling
 
@@ -75,10 +79,6 @@ def sample(
             )
     if rescale is None:
         rescale = nq >= 16
-    if any(r != K for r in graph.output_ranks):
-        raise ValueError(
-            f"K={K} must equal every qubit's output rank {graph.output_ranks}"
-        )
     S, G = num_samples, grid_size
     grid_x = np.linspace(bounds[0], bounds[1], G, dtype=np.float32)
 
