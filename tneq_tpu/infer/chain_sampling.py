@@ -26,7 +26,7 @@ full network as an S·G batch per qubit and has no chain specialization.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
