@@ -39,8 +39,8 @@ TORCH_STEPS = 10
 LR = 1e-3
 METRIC = f"network_fidelity_train_steps_per_sec_{N_QUBITS}q_dim{BOND_DIM}"
 
-CHILD_BUDGET_S = 540   # whole child attempt (first fetch can block ~190s)
-TPU_ATTEMPTS = 2
+CHILD_BUDGET_S = 560   # whole child attempt (first fetch has blocked ~450s)
+TPU_ATTEMPTS = 3
 
 
 def log(msg: str) -> None:
