@@ -354,6 +354,11 @@ def make_masked_network_fidelity_fit(
 
         fit_chunked.batched = batched
         fit_chunked.scope = "chunk"
+        # introspection hooks for timing probes (bench/chunk_probe.py):
+        # share one prepared target across chunk sizes
+        fit_chunked.chunk = _chunk
+        fit_chunked.prepare = prepare
+        fit_chunked.make_opt_state = optimizer.init
         return fit_chunked
 
     if jit_scope == "step":
