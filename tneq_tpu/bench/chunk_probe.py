@@ -175,9 +175,10 @@ def main(argv=None) -> int:
     env = dict(os.environ)
     if args.cpu:
         env["TNEQ_PLATFORM"] = "cpu"
-    r = subprocess.run(cmd, capture_output=True, text=True,
+    # stream the child's stderr live (long runs were previously silent
+    # until completion); only stdout (the RESULT line) is captured
+    r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
                        timeout=CHILD_BUDGET_S + 120, env=env)
-    sys.stderr.write(r.stderr[-6000:])
     for line in r.stdout.splitlines():
         if line.startswith("RESULT "):
             print(line[len("RESULT "):])
