@@ -211,6 +211,9 @@ def run_32q(args) -> dict:
     prune_steps_taken = int(res.steps)
     prune_s = time.time() - t0
     sps = (steps / validate_s) if validate_s > 0 else 0.0
+    # the prune fit reuses the validate fit's compiled programs: its pace
+    # is the warm (compile-free) steps/s
+    warm_sps = (prune_steps_taken / prune_s) if prune_s > 0 else 0.0
     fl = 3.0 * 2.0 * overlap_flops(exp.graph, "float32")
     tflops = sps * fl / 1e12
     return {
@@ -221,6 +224,7 @@ def run_32q(args) -> dict:
         "validate_steps": int(steps),
         "validate_s": round(validate_s, 1),
         "steps_per_sec": round(sps, 2),
+        "warm_steps_per_sec": round(warm_sps, 2),
         "flops_per_step": fl,
         "tflops": round(tflops, 4),
         "mxu_util": round(mxu_utilization(tflops, "float32", precision="highest"), 6),
