@@ -74,6 +74,10 @@ class SymmetryBreakingConfig:
     # jit_scope='step': async steps dispatched per early-exit fetch;
     # jit_scope='chunk': steps per jitted scan chunk
     fit_sync_every: int = 1
+    # network-mode fits: a jax.sharding.Mesh turns every overlap into the
+    # bond-sliced multi-chip contraction (parallel/mp.py; CLI
+    # --slice-devices)
+    mesh: object = None
     prune_lr: float = 1e-2
     prune_steps: int = 5000
     momentum: float = 0.9
@@ -104,6 +108,7 @@ class Experiment:
                 make_masked_network_fidelity_fit,
                 jit_scope=cfg.fit_jit_scope,
                 sync_every=cfg.fit_sync_every,
+                mesh=cfg.mesh,
             )
         elif cfg.fidelity_mode == "dense":
             from functools import partial
@@ -423,6 +428,10 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                         "sync-every steps per jitted scan dispatch")
     p.add_argument("--sync-every", type=int, default=1,
                    help="steps per dispatch for jit-scope step/chunk")
+    p.add_argument("--slice-devices", type=int, default=1,
+                   help="network-mode fits: shard bond-sliced overlaps "
+                        "over this many devices (a 'model' mesh axis; "
+                        "log-space partial combine — parallel/mp.py)")
     args = p.parse_args(argv)
 
     pair_mode = args.dtype == "complex64-pair"
@@ -440,6 +449,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         fit_jit_scope=args.jit_scope,
         fit_sync_every=args.sync_every,
     )
+    if args.slice_devices > 1:
+        if args.fidelity_mode != "network":
+            p.error("--slice-devices requires --fidelity-mode network")
+        from ..parallel import make_mesh
+
+        cfg.mesh = make_mesh({"model": args.slice_devices})
     exp = make_experiment(cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
