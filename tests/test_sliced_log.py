@@ -109,10 +109,10 @@ class TestSlicedLogOverlap:
         row-sweep scan."""
         from tneq_tpu.parallel.mp import make_sliced_two_network_fn
 
-        g = _wall(26, 5)
+        g = _wall(26, 3)
         pa = init_params(g, jax.random.PRNGKey(0), jnp.float32)
-        # un-normalized scale-up: each core x2 -> overlap x2^(ncores),
-        # far out of f32 range at 125 cores
+        # un-normalized scale-up: each core x2 -> overlap x2^(2*ncores),
+        # far out of f32 range at 75 cores
         pa = {k: 2.0 * v for k, v in pa.items()}
         pb = {k: 2.0 * v for k, v in pa.items()}
         raw = make_sliced_two_network_fn(g, g, mesh8, conj_target=True)
