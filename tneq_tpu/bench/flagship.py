@@ -108,7 +108,10 @@ def run_8q(args) -> dict:
     attempts = 0
     restart_pruned = []
     for restart in range(max(1, args.restarts)):
-        key, sub = jax.random.split(key)
+        # restart randomness is seed-keyed (NOT target-keyed) so separate
+        # invocations with different --seed give independent restarts of
+        # the SAME planted target/validated warm start
+        sub = jax.random.fold_in(key, 1000 * args.seed + restart)
         if args.batched:
             pruned, count = symmetry_breaking_batched(
                 exp, target, sub, warm_params=fitted, verbose=True
@@ -132,6 +135,8 @@ def run_8q(args) -> dict:
         "validate_steps": int(steps),
         "validate_s": round(validate_s, 1),
         "restarts": max(1, args.restarts),
+        "seed": args.seed,
+        "batched": bool(args.batched),
         "pruned": len(best_pruned),
         "pruned_list": best_pruned,
         "planted_mask": planted,
@@ -275,6 +280,11 @@ def main(argv=None) -> int:
     p.add_argument("--restarts", type=int, default=1,
                    help="symmetry-breaking restarts keeping the best "
                         "pruned set (reference train.py: 20)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="restart-randomness seed (the planted target and "
+                        "its validation stay seed-0-keyed, so runs with "
+                        "different seeds are independent restarts of the "
+                        "same experiment)")
     p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
                default="chunk",
                help="network fits: 'fit' compiles the whole while_loop "
@@ -300,6 +310,7 @@ def main(argv=None) -> int:
            "--lane-chunk", str(args.lane_chunk),
            "--max-outer", str(args.max_outer),
            "--restarts", str(args.restarts),
+           "--seed", str(args.seed),
            "--sync-every", str(args.sync_every),
            "--budget", str(args.budget),
            "--jit-scope", args.jit_scope] + (
