@@ -135,9 +135,22 @@ def network_log_fidelity(
     if graph.ncores >= 2 and is_mps_chain(graph):
         pc, tc = _chain_cores(graph, p), _chain_cores(graph, t)
         if pc is not None and tc is not None:
-            log_ov = _chain_log_overlap(pc, tc)
-            log_oo = _chain_log_overlap(pc, pc)
-            log_tt = _chain_log_overlap(tc, tc)
+            from ..ops.chain_overlap import (
+                fused_chain_log_overlap,
+                fused_chain_supported,
+            )
+
+            if fused_chain_supported(pc) and fused_chain_supported(tc):
+                # TPU: whole-sweep Pallas kernel over the M-form transfer
+                # matrices — the XLA scan body is op-latency bound at
+                # small bond dims (see ops/chain_overlap.py)
+                log_ov = fused_chain_log_overlap(pc, tc)
+                log_oo = fused_chain_log_overlap(pc, pc)
+                log_tt = fused_chain_log_overlap(tc, tc)
+            else:
+                log_ov = _chain_log_overlap(pc, tc)
+                log_oo = _chain_log_overlap(pc, pc)
+                log_tt = _chain_log_overlap(tc, tc)
             return 2.0 * log_ov - log_oo - log_tt
     # note: a batched sweep (one batch=3 call for ov/oo/tt) was measured
     # SLOWER than three separate sweeps on both CPU (2.7x) and the tunnel
