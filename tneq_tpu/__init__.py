@@ -24,6 +24,11 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# This container's axon tunnel rejects locally-AOT-compiled Pallas kernels
+# (libtpu version mismatch); its remote-compile path must be opted into via
+# env var BEFORE the first kernel compile.  Harmless everywhere else.
+_os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+
 if _os.environ.get("TNEQ_PLATFORM"):
     # Honor an explicit platform request even where site hooks force a
     # different jax_platforms value after the JAX_PLATFORMS env var was

@@ -255,7 +255,7 @@ def mv_chain_log_overlap_pallas(
     if M is None:
         return mv_chain_log_overlap(v0, M, w)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _backend_is_tpu()
     n, S = M.shape[0], M.shape[1]
     s0 = jax.lax.stop_gradient(jnp.max(jnp.abs(v0)) + _TINY)
     u0 = (v0 / s0)[None, :]
@@ -297,7 +297,18 @@ def fused_chain_supported(a, use_pallas: Optional[bool] = None) -> bool:
     S = mids.shape[1] * mids.shape[1]
     if S % 128 != 0:
         return False
-    return forced or jax.default_backend() == "tpu"
+    return forced or _backend_is_tpu()
+
+
+def _backend_is_tpu() -> bool:
+    # under the axon tunnel the registered backend name differs from the
+    # device platform ("tpu"); accept either signal
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def fused_chain_log_overlap(a, b, interpret: Optional[bool] = None) -> jax.Array:
