@@ -59,8 +59,8 @@ def _alarm(seconds: int):
     signal.alarm(seconds)
 
 
-def _build_step_fn():
-    """The measured program: BENCH_STEPS gradient steps of the log-space
+def _build_step_fn(n_steps=BENCH_STEPS):
+    """The measured program: ``n_steps`` gradient steps of the log-space
     network-fidelity loss (train/network_fit.py) on a 32q MPS, f32."""
     import jax
     import jax.numpy as jnp
@@ -88,7 +88,7 @@ def _build_step_fn():
             l, gr = jax.value_and_grad(loss)(c, t)
             return jax.tree.map(lambda a, b: a - LR * b, c, gr), l
 
-        return jax.lax.scan(body, p, None, length=BENCH_STEPS)[1][-1]
+        return jax.lax.scan(body, p, None, length=n_steps)[1][-1]
 
     return steps, params, target
 
@@ -126,8 +126,21 @@ def _measure(force_cpu: bool) -> tuple:
         t0 = time.time()
         out = float(compiled(params, target))  # fetch = completion barrier
         dt = time.time() - t0
-    sps = BENCH_STEPS / dt
-    log(f"jax[{device}]: {BENCH_STEPS} steps in {dt:.2f}s -> "
+        n_timed = BENCH_STEPS
+        if not force_cpu and device != "cpu" and dt < 2.0:
+            # fast path (fused chain kernel): the one-time dispatch+fetch
+            # round-trip dominates a 200-step scan — re-measure with a
+            # scan long enough that device exec is >=90% of the wall
+            n_timed = min(20000, max(1000, int(BENCH_STEPS * 8.0 / dt)))
+            log(f"fast program ({dt:.2f}s/{BENCH_STEPS} steps): "
+                f"re-measuring with a {n_timed}-step scan")
+            steps2, p2, t2 = _build_step_fn(n_timed)
+            compiled2 = jax.jit(steps2).lower(p2, t2).compile()
+            t0 = time.time()
+            out = float(compiled2(p2, t2))
+            dt = time.time() - t0
+    sps = n_timed / dt
+    log(f"jax[{device}]: {n_timed} steps in {dt:.2f}s -> "
         f"{sps:.1f} steps/s (loss={out:.4f})")
     return sps, device
 
