@@ -297,6 +297,13 @@ def fused_chain_supported(a, use_pallas: Optional[bool] = None) -> bool:
     S = mids.shape[1] * mids.shape[1]
     if S % 128 != 0:
         return False
+    # the M-form is O(S^2) per site: cap so one [S, S] transfer matrix
+    # stays a VMEM-resident block (S=1024 -> 4 MB f32).  Large-bond chains
+    # (the D>=256 utilization sweeps) keep the direct einsum scan, which is
+    # MXU-bound there anyway — the fusion targets the small-bond
+    # latency-bound regime.
+    if S > 1024:
+        return False
     return forced or _backend_is_tpu()
 
 
