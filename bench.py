@@ -232,11 +232,19 @@ def bench_torch_cpu() -> float:
 def main():
     jax_sps, device = None, None
     for i in range(TPU_ATTEMPTS):
+        env = dict(os.environ)
+        if i == TPU_ATTEMPTS - 1:
+            # safety net: if the fused Pallas chain path is what is
+            # failing (remote-compile rejection, kernel fault), the last
+            # attempt falls back to the XLA scan path rather than losing
+            # the TPU entirely
+            env["TNEQ_CHAIN_PALLAS"] = "0"
+            log("(final attempt: fused chain kernel disabled)")
         log(f"--- TPU attempt {i + 1}/{TPU_ATTEMPTS} (fresh subprocess) ---")
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tpu-attempt"],
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
                 timeout=CHILD_BUDGET_S + 120,  # child alarms exit first
             )
         except subprocess.TimeoutExpired:

@@ -34,6 +34,13 @@ reference contracts through opt_einsum on torch-CPU.
 float32/real only (Mosaic has no complex dtype); callers fall back to the
 XLA scan for complex or odd shapes.  ``interpret=True`` runs the kernels
 in interpreter mode for CPU tests.
+
+Measured outcome (real TPU, 32q dim-16, 2000-step gradient scan,
+2026-08-17): direct einsum scan 344 steps/s vs M-form XLA scan 295 vs
+fused Pallas sweep 312.  XLA's pipelining of the small-bond chain scan
+already matches the hand-fused kernel, so the fused path is OPT-IN
+(``TNEQ_CHAIN_PALLAS=1``), not the default — kept as the substrate for
+batched multi-chain sweeps where one kernel per sweep amortizes better.
 """
 
 from __future__ import annotations
@@ -100,19 +107,29 @@ def mv_chain_log_overlap(v0, M, w) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# TPU f32 VMEM tiling: block shapes must have second-to-last dim % 8 == 0
+# and last dim % 128 == 0.  Vector carries are therefore padded to 8
+# sublanes (row 0 = data, rows 1-7 = zeros; zeros are invariant under
+# v @ M and do not perturb the max-abs rescale), and true scalars live in
+# SMEM where the tiling rule does not apply.
+_PAD = 8
+
+
 @lru_cache(maxsize=32)
 def _chain_sweep(n: int, S: int, interpret: bool):
-    """custom-VJP ``sweep(u0 [1,S], M [n,S,S], w [1,S]) -> (f, logsum)``.
+    """custom-VJP ``sweep(u0 [8,S], M [n,S,S], w [8,S]) -> (f, logsum)``.
 
-    ``u0`` is the (pre-normalized) boundary vector; ``f = u_n . w`` where
-    ``u_i`` is the carry after site ``i`` (rescaled), ``logsum`` the
-    accumulated ``sum_i log s_i``.  The VJP treats the scales as constants
-    (exact for the LOG overlap) and returns (du0, dM, dw).
+    ``u0`` is the (pre-normalized) boundary vector padded to 8 sublanes;
+    ``f = u_n . w`` where ``u_i`` is the carry after site ``i`` (rescaled),
+    ``logsum`` the accumulated ``sum_i log s_i``.  The VJP treats the
+    scales as constants (exact for the LOG overlap) and returns
+    (du0, dM, dw).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     prec = jax.lax.Precision.HIGHEST
+    P = _PAD
 
     def fwd_kernel(u0_ref, m_ref, w_ref, ustack_ref, s_ref, f_ref,
                    logsum_ref, ulast_ref, v_s, logs_s):
@@ -123,15 +140,15 @@ def _chain_sweep(n: int, S: int, interpret: bool):
             v_s[:] = u0_ref[:]
             logs_s[0] = jnp.float32(0.0)
 
-        u_prev = v_s[:]  # [1, S] — entry state u_{i-1}
-        ustack_ref[:] = u_prev
+        u_prev = v_s[:]  # [P, S] — entry state u_{i-1} in row 0
+        ustack_ref[0] = u_prev
         raw = jnp.dot(u_prev, m_ref[0], preferred_element_type=jnp.float32,
                       precision=prec)
-        s = jnp.max(jnp.abs(raw)) + _TINY
+        s = jnp.max(jnp.abs(raw)) + _TINY  # zero pad rows don't affect max
         v_new = raw / s
         v_s[:] = v_new
         logs_s[0] += jnp.log(s)
-        s_ref[0, 0] = s
+        s_ref[0, i] = s
 
         @pl.when(i == n - 1)
         def _fin():
@@ -144,34 +161,34 @@ def _chain_sweep(n: int, S: int, interpret: bool):
             fwd_kernel,
             grid=(n,),
             in_specs=[
-                pl.BlockSpec((1, S), lambda i: (0, 0),
+                pl.BlockSpec((P, S), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, S, S), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S), lambda i: (0, 0),
+                pl.BlockSpec((P, S), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, S), lambda i: (i, 0),
+                pl.BlockSpec((1, P, S), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((P, S), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n, S), jnp.float32),   # u_{i-1} stack
-                jax.ShapeDtypeStruct((n, 1), jnp.float32),   # scales
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),   # f = u_n . w
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),   # sum log s
-                jax.ShapeDtypeStruct((1, S), jnp.float32),   # u_n
+                jax.ShapeDtypeStruct((n, P, S), jnp.float32),  # u_{i-1} stack
+                jax.ShapeDtypeStruct((1, n), jnp.float32),     # scales
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),     # f = u_n . w
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),     # sum log s
+                jax.ShapeDtypeStruct((P, S), jnp.float32),     # u_n
             ],
             scratch_shapes=[
-                pltpu.VMEM((1, S), jnp.float32),
+                pltpu.VMEM((P, S), jnp.float32),
                 pltpu.SMEM((1,), jnp.float32),
             ],
             interpret=interpret,
@@ -184,9 +201,14 @@ def _chain_sweep(n: int, S: int, interpret: bool):
         def _init():
             r_s[:] = r0_ref[:]
 
-        draw = r_s[:] / s_ref[0, 0]  # [1, S]
-        # dM_i[a, b] = u_{i-1}[a] * draw[b]
-        dm_ref[0] = jnp.transpose(u_ref[:]) * draw
+        draw = r_s[:] / s_ref[0, n - 1 - i]  # [P, S], data in row 0
+        # dM_i[a, b] = u_{i-1}[a] * draw[b]: [S,P] @ [P,S] — pad rows are
+        # zero on both sides, so the 8-row contraction equals the outer
+        # product of the row-0 vectors
+        dm_ref[0] = jax.lax.dot_general(
+            u_ref[0], draw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
         # r_{i-1}[a] = sum_b M_i[a, b] * draw[b]
         r_s[:] = jax.lax.dot_general(
             draw, m_ref[0], (((1,), (1,)), ((), ())),
@@ -198,28 +220,28 @@ def _chain_sweep(n: int, S: int, interpret: bool):
             rfinal_ref[:] = r_s[:]
 
     def run_bwd(r0, M, ustack, scales):
-        rev = lambda i: (n - 1 - i, 0, 0)
-        rev2 = lambda i: (n - 1 - i, 0)
+        rev3 = lambda i: (n - 1 - i, 0, 0)
         return pl.pallas_call(
             bwd_kernel,
             grid=(n,),
             in_specs=[
-                pl.BlockSpec((1, S), lambda i: (0, 0),
+                pl.BlockSpec((P, S), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, S), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S), rev2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), rev2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, S), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, S), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, S, S), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S), lambda i: (0, 0),
+                pl.BlockSpec((1, S, S), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, S), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n, S, S), jnp.float32),  # dM
-                jax.ShapeDtypeStruct((1, S), jnp.float32),     # du0
+                jax.ShapeDtypeStruct((P, S), jnp.float32),     # du0
             ],
-            scratch_shapes=[pltpu.VMEM((1, S), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((P, S), jnp.float32)],
             interpret=interpret,
         )(r0, M, ustack, scales)
 
@@ -235,7 +257,7 @@ def _chain_sweep(n: int, S: int, interpret: bool):
     def sweep_bwd(res, cts):
         M, w, ustack, scales, ulast = res
         df, _dlogsum = cts  # scales are stop-gradient: dlogsum contributes 0
-        r0 = df * w  # [1, S]
+        r0 = df * w  # [P, S]
         dM, du0 = run_bwd(r0, M, ustack, scales)
         dw = df * ulast
         return du0, dM, dw
@@ -258,8 +280,11 @@ def mv_chain_log_overlap_pallas(
         interpret = not _backend_is_tpu()
     n, S = M.shape[0], M.shape[1]
     s0 = jax.lax.stop_gradient(jnp.max(jnp.abs(v0)) + _TINY)
-    u0 = (v0 / s0)[None, :]
-    f, logsum = _chain_sweep(n, S, bool(interpret))(u0, M, w[None, :])
+    # pad vectors to 8 sublanes (TPU f32 VMEM tiling); autodiff through
+    # .at[0].set routes du0/dw back to the rank-1 operands
+    u0 = jnp.zeros((_PAD, S), v0.dtype).at[0].set(v0 / s0)
+    wp = jnp.zeros((_PAD, S), w.dtype).at[0].set(w)
+    f, logsum = _chain_sweep(n, S, bool(interpret))(u0, M, wp)
     return jnp.log(s0) + logsum + jnp.log(jnp.abs(f) + _TINY)
 
 
@@ -272,16 +297,18 @@ def fused_chain_supported(a, use_pallas: Optional[bool] = None) -> bool:
     """True when the (first, mids, last) triple can take the fused path:
     real float32 cores, stacked mids present, S = bond**2 a lane multiple.
 
-    ``TNEQ_CHAIN_PALLAS=0/1`` forces the decision; unset means auto
-    (TPU backend only — on CPU the XLA scan is faster than interpret mode).
+    ``TNEQ_CHAIN_PALLAS=1`` (or ``use_pallas=True``) opts in; the default
+    is OFF everywhere.  Measured head-to-head on the real TPU (32q dim-16,
+    2000-step gradient scan, 2026-08-17): direct einsum scan 344 steps/s,
+    M-form XLA scan 295, fused Pallas sweep 312 — XLA already pipelines
+    the latency-bound chain scan as well as the hand-fused kernel, so the
+    fusion stays an opt-in experiment rather than the default.
     """
     env = os.environ.get("TNEQ_CHAIN_PALLAS", "")
     if use_pallas is None:
-        if env == "0":
+        if env != "1":
             return False
-        if env not in ("", "0") and env != "1":
-            return False
-        forced = env == "1"
+        forced = True
     else:
         forced = use_pallas
         if not use_pallas:
@@ -304,7 +331,7 @@ def fused_chain_supported(a, use_pallas: Optional[bool] = None) -> bool:
     # latency-bound regime.
     if S > 1024:
         return False
-    return forced or _backend_is_tpu()
+    return forced
 
 
 def _backend_is_tpu() -> bool:

@@ -141,9 +141,9 @@ def network_log_fidelity(
             )
 
             if fused_chain_supported(pc) and fused_chain_supported(tc):
-                # TPU: whole-sweep Pallas kernel over the M-form transfer
-                # matrices — the XLA scan body is op-latency bound at
-                # small bond dims (see ops/chain_overlap.py)
+                # opt-in (TNEQ_CHAIN_PALLAS=1): whole-sweep Pallas kernel
+                # over the M-form transfer matrices; measured at parity
+                # with the default XLA scan (see ops/chain_overlap.py)
                 log_ov = fused_chain_log_overlap(pc, tc)
                 log_oo = fused_chain_log_overlap(pc, pc)
                 log_tt = fused_chain_log_overlap(tc, tc)
