@@ -122,6 +122,44 @@ class TestChainNetworkFidelity:
         t2 = contract_cores(g, p2, order="qubit")
         assert f_net == pytest.approx(float(fidelity(t1, t2)), rel=1e-3)
 
+    def test_batched_chain_overlap_matches_separate(self):
+        """One batched transfer scan (the TPU op-latency optimization)
+        equals per-pair scans in value and gradient."""
+        from tneq_tpu.graph import mps_graph
+        from tneq_tpu.train.network_fit import (
+            _chain_cores,
+            _chain_log_overlap,
+            _chain_log_overlap_batched,
+            _normalize,
+        )
+
+        g = parse_graph(mps_graph(16, dim=8))
+        t = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        p = {n: v + 0.01 * jax.random.normal(jax.random.fold_in(
+            jax.random.PRNGKey(1), i), v.shape)
+            for i, (n, v) in enumerate(sorted(t.items()))}
+        tc = _chain_cores(g, _normalize(t))
+
+        def overlaps_sep(pp):
+            pc = _chain_cores(g, _normalize(pp))
+            return jnp.stack([_chain_log_overlap(pc, tc),
+                              _chain_log_overlap(pc, pc)])
+
+        def overlaps_bat(pp):
+            pc = _chain_cores(g, _normalize(pp))
+            return _chain_log_overlap_batched([(pc, tc), (pc, pc)])
+
+        np.testing.assert_allclose(np.asarray(overlaps_sep(p)),
+                                   np.asarray(overlaps_bat(p)),
+                                   rtol=1e-5, atol=1e-4)
+        g1 = jax.grad(lambda q: 2.0 * overlaps_sep(q)[0]
+                      - overlaps_sep(q)[1])(p)
+        g2 = jax.grad(lambda q: 2.0 * overlaps_bat(q)[0]
+                      - overlaps_bat(q)[1])(p)
+        for n in g1:
+            np.testing.assert_allclose(np.asarray(g1[n]), np.asarray(g2[n]),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_f32_stable_at_depth(self):
         """The dense overlap nans past ~24 qubits in f32; the chain scan
         stays finite at 48."""

@@ -77,15 +77,48 @@ def main() -> int:
 
         return steps
 
+    from tneq_tpu.train.network_fit import _chain_log_overlap_batched
+
+    def make_steps_batched(nb):
+        """nb=2: ov+oo in ONE batched scan, tt separate (loop-invariant,
+        hoisted by XLA); nb=3: all three in one batched scan."""
+
+        def loss(pp, tt):
+            pn, tn = _normalize(pp), _normalize(tt)
+            pc, tc = _chain_cores(g, pn), _chain_cores(g, tn)
+            if nb == 2:
+                lv, lo = _chain_log_overlap_batched([(pc, tc), (pc, pc)])
+                lt = _chain_log_overlap(tc, tc)
+            else:
+                lv, lo, lt = _chain_log_overlap_batched(
+                    [(pc, tc), (pc, pc), (tc, tc)])
+            return -(2.0 * lv - lo - lt)
+
+        def steps(pp, tt):
+            def body(c, _):
+                l, gr = jax.value_and_grad(loss)(c, tt)
+                return jax.tree.map(lambda a, b: a - lr * b, c, gr), l
+
+            return jax.lax.scan(body, pp, None, length=n_steps)[1][-1]
+
+        return steps
+
     variants = [
         ("direct", _chain_log_overlap),
         ("mform", lambda a, b: mv_chain_log_overlap(*chain_pair_to_mv(a, b))),
         ("pallas", lambda a, b: mv_chain_log_overlap_pallas(
             *chain_pair_to_mv(a, b), interpret=False)),
+        ("direct-b2", None),
+        ("direct-b3", None),
     ]
     for name, ov in variants:
         try:
-            fn = make_steps(ov)
+            if name == "direct-b2":
+                fn = make_steps_batched(2)
+            elif name == "direct-b3":
+                fn = make_steps_batched(3)
+            else:
+                fn = make_steps(ov)
             t0 = time.time()
             compiled = jax.jit(fn).lower(p, t).compile()
             tc_ = time.time() - t0

@@ -104,6 +104,47 @@ def _chain_log_overlap(a, b) -> jax.Array:
     return logs + jnp.log(jnp.abs(final) + _TINY)
 
 
+def _chain_log_overlap_batched(pairs) -> jax.Array:
+    """log |⟨A_k, B_k⟩| for several same-shape chain pairs in ONE batched
+    transfer scan (returns ``[len(pairs)]``).
+
+    Same math as :func:`_chain_log_overlap` with a leading batch axis:
+    each site update is one batched einsum instead of ``len(pairs)``
+    separate ones — at small bond dims the scan is op-latency bound, so
+    fewer, slightly larger ops per site win (measured on the real TPU:
+    see ``bench/chain_variants.py``).
+    """
+    fa = jnp.stack([a[0] for a, _ in pairs])
+    fb = jnp.stack([b[0] for _, b in pairs])
+    la = jnp.stack([a[2] for a, _ in pairs])
+    lb = jnp.stack([b[2] for _, b in pairs])
+
+    def rescale(v, logs):
+        s = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(v), axis=(1, 2), keepdims=True) + _TINY
+        )
+        return v / s, logs + jnp.log(s[:, 0, 0])
+
+    v = jnp.einsum("bxiyc,bxiye->bce", fa, jnp.conj(fb))
+    v, logs = rescale(v, jnp.zeros((len(pairs),), v.real.dtype))
+
+    if pairs[0][0][1] is not None:
+        ma = jnp.stack([a[1] for a, _ in pairs], axis=1)  # [n, b, ...]
+        mb = jnp.stack([b[1] for _, b in pairs], axis=1)
+
+        def body(carry, ab):
+            v, logs = carry
+            A, B = ab
+            v = jnp.einsum("bce,bcxyf,bexyg->bfg", v, A, jnp.conj(B))
+            v, logs = rescale(v, logs)
+            return (v, logs), None
+
+        (v, logs), _ = jax.lax.scan(body, (v, logs), (ma, mb))
+
+    final = jnp.einsum("bce,bcxyz,bexyz->b", v, la, jnp.conj(lb))
+    return logs + jnp.log(jnp.abs(final) + _TINY)
+
+
 def _overlap_fn(graph: CircuitGraph):
     """log|⟨A,B⟩| function for non-chain graphs: the row-sweep scan for
     layered 2-local circuits (O(1)-size compiled program; ``ops/row_scan``),
