@@ -110,9 +110,12 @@ def _chain_log_overlap_batched(pairs) -> jax.Array:
 
     Same math as :func:`_chain_log_overlap` with a leading batch axis:
     each site update is one batched einsum instead of ``len(pairs)``
-    separate ones — at small bond dims the scan is op-latency bound, so
-    fewer, slightly larger ops per site win (measured on the real TPU:
-    see ``bench/chain_variants.py``).
+    separate ones.  Measured SLOWER than separate scans on the real TPU
+    (32q dim-16 gradient step: b2 276 / b3 226 vs 366 steps/s separate —
+    the batched plans lower worse, same finding as the batched row scan;
+    ``bench/chain_variants.py``, ``CHAIN_KERNEL_r03.json``), so the
+    separate-call form stays the default; this helper serves callers that
+    need many overlaps of independent pairs in one program.
     """
     fa = jnp.stack([a[0] for a, _ in pairs])
     fb = jnp.stack([b[0] for _, b in pairs])
