@@ -357,3 +357,47 @@ class TestChainSampler:
         # the generic path needs ~30 whole-network compiles (minutes);
         # the chain sweep compiles a handful of tiny programs
         assert wall < 120, f"chain sampler too slow: {wall:.0f}s"
+
+    def test_noncanonical_chain_falls_back_to_generic(self):
+        """is_mps_chain admits layouts the sweep sampler cannot
+        canonicalize (e.g. a head core with boundary outs on BOTH its
+        qubits).  The dispatch must fall back to the generic env sampler
+        instead of raising (code-review r3)."""
+        from tneq_tpu.graph.dsl import CircuitGraph, CoreSpec, Edge
+        from tneq_tpu.infer.chain_sampling import supports_chain_sampling
+        from tneq_tpu.ops.mps_sweep import is_mps_chain
+
+        a = CoreSpec(0, "a", (Edge(0, 2), Edge(1, 2)),
+                     (Edge(0, 2), Edge(1, 2), Edge(1, 3, neighbor=1)))
+        b = CoreSpec(1, "b", (Edge(1, 3, neighbor=0), Edge(2, 2)),
+                     (Edge(1, 2), Edge(2, 2)))
+        g = CircuitGraph(nqubits=3, cores=(a, b))
+        assert is_mps_chain(g)
+        assert not supports_chain_sampling(g)
+        params = {
+            c.name: jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(0), i),
+                c.shape, jnp.float32,
+            )
+            for i, c in enumerate(g.cores)
+        }
+        states = [jnp.ones((2,)) / jnp.sqrt(2.0)] * 3
+        kw = dict(num_samples=4, K=2, key=jax.random.PRNGKey(1),
+                  grid_size=50, dtype=jnp.float32)
+        out = sample(g, params, states, **kw)  # auto: generic fallback
+        assert np.asarray(out).shape == (4, 3)
+        with pytest.raises(ValueError, match="canonical MPS-chain"):
+            sample(g, params, states, chain=True, **kw)
+
+    def test_chain_true_forces_sweep_sampler(self):
+        from tneq_tpu.graph import mps_graph
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(5, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        states = basis_states(g, dtype=jnp.float32)
+        kw = dict(num_samples=8, K=2, key=jax.random.PRNGKey(1),
+                  grid_size=60, dtype=jnp.float32)
+        a = sample(g, params, states, chain=True, **kw)
+        b = sample(g, params, states, chain=False, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

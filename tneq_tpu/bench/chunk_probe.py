@@ -155,7 +155,7 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--n-qubits", type=int, default=32)
     p.add_argument("--chunks", type=int, nargs="+", default=[1, 16])
-    p.add_argument("--dispatches", type=int, default=4)
+    p.add_argument("--dispatches", type=lambda s: max(1, int(s)), default=4)
     p.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 

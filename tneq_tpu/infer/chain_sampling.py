@@ -41,14 +41,17 @@ __all__ = ["supports_chain_sampling", "chain_sample"]
 _TINY = 1e-30
 
 
-def _site_tensors(graph: CircuitGraph, params, states):
-    """Absorb input states; return site tensors in canonical axis order
-    ``[left_bond?, out_legs..., right_bond?]`` (outs ascending qubit).
-    Returns None when the chain deviates from the canonical MPS layout."""
+def _chain_plan(graph: CircuitGraph):
+    """Structural plan for the canonical MPS layout, or None if the graph
+    deviates from it.  Per core: ``(state_axes, order)`` where
+    ``state_axes`` is ``[(axis_pos, qubit), ...]`` in descending position
+    (absorption order) and ``order`` is the transpose permutation of the
+    post-absorption tensor into ``[left_bond?, out_legs..., right_bond?]``
+    (outs ascending qubit).  Pure graph metadata — no params needed, so
+    ``supports_chain_sampling`` can validate the layout before dispatch."""
     n = graph.ncores
-    sites = []
+    plan = []
     for i, core in enumerate(graph.cores):
-        arr = params[core.name]
         # classify axes of the raw tensor (in_edges then out_edges)
         axes = []
         for is_out, edges in ((False, core.in_edges), (True, core.out_edges)):
@@ -61,25 +64,22 @@ def _site_tensors(graph: CircuitGraph, params, states):
                     axes.append(("right", e.qubit))
                 else:
                     return None
-        # absorb state vectors (contract each 'state' axis with its qubit's
-        # input state), tracking positions
-        # process from the highest axis down so indices stay valid
-        for pos in sorted(
-            (p for p, (k, _) in enumerate(axes) if k == "state"), reverse=True
-        ):
-            q = axes[pos][1]
-            arr = jnp.tensordot(arr, states[q], axes=([pos], [0]))
-            axes.pop(pos)
+        # state axes absorb highest-position-first so indices stay valid
+        state_axes = sorted(
+            ((p, q) for p, (k, q) in enumerate(axes) if k == "state"),
+            reverse=True,
+        )
+        rem = [a for a in axes if a[0] != "state"]
         # canonical order: left, outs ascending, right
         order = (
-            [p for p, (k, _) in enumerate(axes) if k == "left"]
+            [p for p, (k, _) in enumerate(rem) if k == "left"]
             + sorted(
-                (p for p, (k, _) in enumerate(axes) if k == "out"),
-                key=lambda p: axes[p][1],
+                (p for p, (k, _) in enumerate(rem) if k == "out"),
+                key=lambda p: rem[p][1],
             )
-            + [p for p, (k, _) in enumerate(axes) if k == "right"]
+            + [p for p, (k, _) in enumerate(rem) if k == "right"]
         )
-        kinds = [axes[p][0] for p in order]
+        kinds = [rem[p][0] for p in order]
         expect = (
             (["out", "right"] if i == 0 else
              ["left", "out", "out"] if i == n - 1 else
@@ -89,15 +89,35 @@ def _site_tensors(graph: CircuitGraph, params, states):
         )
         if kinds != expect:
             return None
-        arr = jnp.transpose(arr, order)
-        sites.append(arr)
+        plan.append((state_axes, order))
+    return plan
+
+
+def _site_tensors(graph: CircuitGraph, params, states):
+    """Absorb input states; return site tensors in canonical axis order
+    (see ``_chain_plan``), or None for non-canonical layouts."""
+    plan = _chain_plan(graph)
+    if plan is None:
+        return None
+    sites = []
+    for core, (state_axes, order) in zip(graph.cores, plan):
+        arr = params[core.name]
+        for pos, q in state_axes:
+            arr = jnp.tensordot(arr, states[q], axes=([pos], [0]))
+        sites.append(jnp.transpose(arr, order))
     return sites
 
 
 def supports_chain_sampling(graph: CircuitGraph) -> bool:
     from ..ops.mps_sweep import is_mps_chain
 
-    return graph.ncores >= 2 and is_mps_chain(graph)
+    return (
+        graph.ncores >= 2
+        and is_mps_chain(graph)
+        # is_mps_chain admits layouts (e.g. mirrored output legs) the
+        # sweep sampler cannot canonicalize; validate the full plan
+        and _chain_plan(graph) is not None
+    )
 
 
 def _norm_rows(x, batch_axes: int):

@@ -61,17 +61,24 @@ def sample(
     MPS chains dispatch to the O(1)-compile left-to-right sweep sampler
     (``infer/chain_sampling.py``: a handful of compiled programs instead
     of one whole-network env program per qubit) — pass ``chain=False``
-    to force the generic path.
+    to force the generic path, ``chain=True`` to require the sweep
+    sampler (raises if the graph is not a canonical MPS chain).
     """
     nq = graph.nqubits
     if any(r != K for r in graph.output_ranks):
         raise ValueError(
             f"K={K} must equal every qubit's output rank {graph.output_ranks}"
         )
-    if chain is None:
+    if chain is None or chain:
         from .chain_sampling import chain_sample, supports_chain_sampling
 
-        if supports_chain_sampling(graph):
+        supported = supports_chain_sampling(graph)
+        if chain and not supported:
+            raise ValueError(
+                "chain=True requires a canonical MPS-chain graph "
+                "(ops.mps_sweep.is_mps_chain layout)"
+            )
+        if supported:
             return chain_sample(
                 graph, params, states, num_samples, K, key,
                 bounds=bounds, grid_size=grid_size,

@@ -321,6 +321,10 @@ def fused_chain_supported(a, use_pallas: Optional[bool] = None) -> bool:
         return False
     if jnp.dtype(mids.dtype) != jnp.dtype(jnp.float32):
         return False
+    # the M-form needs square per-site transfer matrices: uniform bonds
+    # only (non-uniform triples crash the sweep's fixed-S kernel)
+    if mids.shape[1] != mids.shape[-1]:
+        return False
     S = mids.shape[1] * mids.shape[1]
     if S % 128 != 0:
         return False

@@ -39,6 +39,7 @@ BondKey = Tuple[int, int, int]  # (min_core_idx, max_core_idx, qubit)
 
 _NEG = -1e30  # "log of zero" for masked slice partials (finite: -inf-(-inf)
 #               in the running max-normalization would produce NaNs)
+_TINY = 1e-30  # log(|x| + _TINY): keeps exact zeros finite
 
 
 def _internal_bonds(graph: CircuitGraph) -> List[Tuple[BondKey, int]]:
@@ -418,9 +419,6 @@ def make_sliced_log_overlap_fn(
         return contract(params_a, params_b)
 
     return sharded
-
-
-_TINY = 1e-30
 
 
 def sliced_nll_loss(

@@ -196,12 +196,15 @@ def make_masked_fidelity_fit(
         )
         infid_b = jnp.ones((b,))
         steps = 0
+        # always dispatch full-k chunks (max_steps rounds UP to chunk
+        # granularity): a kk<k tail would compile a SECOND whole fit
+        # program just for the last partial chunk — minutes (and compiler
+        # OOM risk) on the tunnel's remote compiler
         while steps < max_steps and bool(np.asarray(infid_b >= tol).any()):
-            kk = min(k, max_steps - steps)
-            params_b, opt_state_b, infid_b = _batched_chunk(kk)(
+            params_b, opt_state_b, infid_b = _batched_chunk(k)(
                 params_b, opt_state_b, masks, target
             )
-            steps += kk
+            steps += k
         return FitResult(
             params_b, infid_b, jnp.asarray(steps), opt_state_b
         )
@@ -216,12 +219,12 @@ def make_masked_fidelity_fit(
             k = max(1, int(sync_every))
             infid = jnp.ones(())
             steps = 0
+            # full-k chunks only (max_steps rounds UP): see batched()
             while steps < max_steps and float(infid) >= tol:
-                kk = min(k, max_steps - steps)
-                params, opt_state, infid = _chunk(kk)(
+                params, opt_state, infid = _chunk(k)(
                     params, opt_state, mask, target
                 )
-                steps += kk
+                steps += k
             return FitResult(params, infid, jnp.asarray(steps), opt_state)
 
         fit_chunked.batched = batched

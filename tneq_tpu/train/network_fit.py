@@ -379,14 +379,16 @@ def make_masked_network_fidelity_fit(
         )
         nlf_b = jnp.full((b,), 1e9)
         steps = 0
+        # full-k chunks only (max_steps rounds UP to chunk granularity):
+        # a kk<k tail would remote-compile a second whole fit program just
+        # for the last partial chunk (minutes + compiler OOM risk)
         while steps < max_steps and bool(
             np.asarray(nlf_b > -log_tol).any()
         ):
-            kk = min(k, max_steps - steps)
-            params_b, opt_state_b, nlf_b = _batched_chunk(kk)(
+            params_b, opt_state_b, nlf_b = _batched_chunk(k)(
                 params_b, opt_state_b, masks, target_eff_n, log_tt
             )
-            steps += kk
+            steps += k
         infid_b = -jnp.expm1(-nlf_b)
         return FitResult(params_b, infid_b, jnp.asarray(steps), opt_state_b)
 
@@ -400,12 +402,12 @@ def make_masked_network_fidelity_fit(
             k = max(1, int(sync_every))
             nlf = jnp.full((), 1e9)
             steps = 0
+            # full-k chunks only (max_steps rounds UP): see batched()
             while steps < max_steps and float(nlf) > -log_tol:
-                kk = min(k, max_steps - steps)
-                params, opt_state, nlf = _chunk(kk)(
+                params, opt_state, nlf = _chunk(k)(
                     params, opt_state, mask, target_eff_n, log_tt
                 )
-                steps += kk
+                steps += k
             infid = -jnp.expm1(-nlf)
             return FitResult(params, infid, jnp.asarray(steps), opt_state)
 
