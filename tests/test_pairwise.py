@@ -72,10 +72,29 @@ class TestChoosePath:
 
         path_ok = choose_path(eq, shapes, max_intermediate=4096)
         assert _max_intermediate_size(eq, shapes, list(path_ok)) <= 4096
-        # an unsatisfiable cap raises instead of silently materializing the
-        # linear fallback's oversized intermediate (ADVICE r2)
+        # an unsatisfiable cap: strict raises (ADVICE r2); the default
+        # warns loudly and proceeds with the smaller path (code-review r3
+        # — previously-working large-env flows must not hard-fail)
         with pytest.raises(ValueError, match="no contraction path fits"):
-            choose_path(eq, shapes, max_intermediate=16)
+            choose_path(eq, shapes, max_intermediate=16, strict=True)
+        import logging
+
+        records = []
+
+        class _Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        logger = logging.getLogger("tneq_tpu.ops.pairwise")
+        h = _Grab()
+        logger.addHandler(h)
+        try:
+            p = choose_path(eq, shapes, max_intermediate=16)
+        finally:
+            logger.removeHandler(h)
+        steps = pairwise_steps(eq, list(p))
+        assert len(steps) == 3
+        assert any("no contraction path fits" in m for m in records)
 
     def test_small_network_uses_native_or_linear(self):
         shapes = ((2, 3), (3, 4), (4, 2))

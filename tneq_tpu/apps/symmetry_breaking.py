@@ -337,8 +337,14 @@ def symmetry_breaking_batched(
                 part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
             masks = jnp.asarray(part)
             # K steps per vmapped dispatch: amortizes the device round-trip
-            # over K x lanes steps (convergence checked per chunk)
-            k = max(16, int(cfg.fit_sync_every))
+            # over K x lanes steps (convergence checked per chunk).  An
+            # explicit fit_sync_every > 1 is honored; the scalar-path
+            # default (1) maps to 16 here because per-step lockstep
+            # dispatch would forfeit the amortization this path exists
+            # for.  Clamped to the step budget so a small prune_steps is
+            # not overshot by a full-k chunk.
+            k = int(cfg.fit_sync_every) if int(cfg.fit_sync_every) > 1 else 16
+            k = max(1, min(k, int(cfg.prune_steps)))
             if cfg.fidelity_mode == "network":
                 t_params, t_mask = target
                 res = batched_fit(current, masks, t_params, t_mask,

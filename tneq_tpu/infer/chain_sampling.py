@@ -196,7 +196,10 @@ def chain_sample(
         ]
 
     # --- per-qubit sampling programs (compiled once per shape) ----------
-    def draw(dens, subkey):
+    # mx_grid / gx ride through every jitted step as ARGUMENTS, never as
+    # closure captures: the axon TPU backend cannot host-copy captured
+    # device arrays during jit lowering (CLAUDE.md channel protocol)
+    def draw(dens, gx, subkey):
         dens = jnp.clip(dens, min=0.0)
         if density_power == 2:
             dens = dens * dens
@@ -207,8 +210,8 @@ def chain_sample(
         idx = jnp.clip(idx, max=G - 2)[:, None]
         cdf_l = jnp.take_along_axis(cdf, idx, axis=1)
         cdf_r = jnp.take_along_axis(cdf, idx + 1, axis=1)
-        x_l = grid_x_d[idx[:, 0]][:, None]
-        x_r = grid_x_d[idx[:, 0] + 1][:, None]
+        x_l = gx[idx[:, 0]][:, None]
+        x_r = gx[idx[:, 0] + 1][:, None]
         frac = jnp.clip((u - cdf_l) / (cdf_r - cdf_l + 1e-10), 0.0, 1.0)
         y = (x_l + frac * (x_r - x_l))[:, 0]
         return y, measurement_matrices(y[:, None], K)[:, 0].astype(dtype)
@@ -217,52 +220,52 @@ def chain_sample(
         return abs_square(v) if jnp.iscomplexobj(v) else v
 
     @jax.jit
-    def step_first(A0, r, subkey):
+    def step_first(A0, r, mg, gx, subkey):
         # env over o_0: [o, ō]
         env = jnp.einsum("ob,pd,bd->op", A0, jnp.conj(A0), r)
-        dens = born(jnp.einsum("op,gop->g", env, mx_grid))
+        dens = born(jnp.einsum("op,gop->g", env, mg))
         dens_b = jnp.broadcast_to(dens[None], (S, G))
-        y, mx_y = draw(dens_b, subkey)
+        y, mx_y = draw(dens_b, gx, subkey)
         L = jnp.einsum("ob,sop,pd->sbd", A0, mx_y, jnp.conj(A0))
         return y, _norm_rows(L, 1)
 
     @jax.jit
-    def step_mid(L, A, r, subkey):
+    def step_mid(L, A, r, mg, gx, subkey):
         env = jnp.einsum("sac,aob,cpd,bd->sop", L, A, jnp.conj(A), r)
-        dens = born(jnp.einsum("sop,gop->sg", env, mx_grid))
-        y, mx_y = draw(dens, subkey)
+        dens = born(jnp.einsum("sop,gop->sg", env, mg))
+        y, mx_y = draw(dens, gx, subkey)
         L2 = jnp.einsum("sac,aob,sop,cpd->sbd", L, A, mx_y, jnp.conj(A))
         return y, _norm_rows(L2, 1)
 
     @jax.jit
-    def step_last_first(L, A, subkey):
+    def step_last_first(L, A, mg, gx, subkey):
         # A: [a, o, p]; identity on p
         env = jnp.einsum("sac,aop,cqp->soq", L, A, jnp.conj(A))
-        dens = born(jnp.einsum("soq,goq->sg", env, mx_grid))
-        y, mx_y = draw(dens, subkey)
+        dens = born(jnp.einsum("soq,goq->sg", env, mg))
+        y, mx_y = draw(dens, gx, subkey)
         # absorb M_{n-2}: L over the p legs
         L2 = jnp.einsum("sac,aop,soq,cqr->spr", L, A, mx_y, jnp.conj(A))
         return y, _norm_rows(L2, 1)
 
     @jax.jit
-    def step_last_second(L, subkey):
-        dens = born(jnp.einsum("spr,gpr->sg", L, mx_grid))
-        y, _ = draw(dens, subkey)
+    def step_last_second(L, mg, gx, subkey):
+        dens = born(jnp.einsum("spr,gpr->sg", L, mg))
+        y, _ = draw(dens, gx, subkey)
         return y
 
     samples = np.zeros((S, nq), np.float32)
     n = graph.ncores
     key, k0 = jax.random.split(key)
-    y, L = step_first(sites[0], r_list[0], k0)
+    y, L = step_first(sites[0], r_list[0], mx_grid, grid_x_d, k0)
     samples[:, 0] = np.asarray(y)
     for i in range(1, n - 1):
         key, ki = jax.random.split(key)
-        y, L = step_mid(L, sites[i], r_list[i], ki)
+        y, L = step_mid(L, sites[i], r_list[i], mx_grid, grid_x_d, ki)
         samples[:, i] = np.asarray(y)
     key, ka = jax.random.split(key)
-    y, L = step_last_first(L, sites[-1], ka)
+    y, L = step_last_first(L, sites[-1], mx_grid, grid_x_d, ka)
     samples[:, n - 1] = np.asarray(y)
     key, kb = jax.random.split(key)
-    y = step_last_second(L, kb)
+    y = step_last_second(L, mx_grid, grid_x_d, kb)
     samples[:, n] = np.asarray(y)
     return jnp.asarray(samples)

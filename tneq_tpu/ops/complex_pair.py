@@ -162,31 +162,9 @@ def make_pair_log_abs_two_network_fn(
     two (possibly rank-differing, same-boundary) networks in stacked-real
     form.  ``signed=True`` returns ``(pair_mantissa, log_scale)`` — the
     summable form for multi-chip slice partials (``parallel/mp.py``)."""
-    from .einsum_spec import two_network_spec
-    from .pairwise import row_major_core_order
+    from .pairwise import two_network_interleave
 
-    gb = graph_b if graph_b is not None else graph_a
-    spec = two_network_spec(graph_a, gb)
-    lhs, rhs = spec.equation.split("->")
-    subs = lhs.split(",")
-    n = graph_a.ncores
-    order_a = row_major_core_order(graph_a)
-    order_b = row_major_core_order(gb)
-    perm = []
-    slots = []
-    m = min(len(order_a), len(order_b))
-    for i in range(m):
-        perm.append(order_a[i])
-        slots.append(("a", graph_a.cores[order_a[i]].name))
-        perm.append(n + order_b[i])
-        slots.append(("b", gb.cores[order_b[i]].name))
-    for k in order_a[m:]:
-        perm.append(k)
-        slots.append(("a", graph_a.cores[k].name))
-    for k in order_b[m:]:
-        perm.append(n + k)
-        slots.append(("b", gb.cores[k].name))
-    equation = ",".join(subs[p] for p in perm) + "->" + rhs
+    equation, slots = two_network_interleave(graph_a, graph_b)
 
     def fn(params_a, params_b):
         ops = []

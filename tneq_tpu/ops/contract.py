@@ -194,12 +194,9 @@ def make_siamese_fn(
         )
         if not rescale:
             return _einsum(spec, ops)
-        from .pairwise import choose_path, execute_pairwise, pairwise_steps
+        from .pairwise import rescaled_execute
 
-        shapes = tuple(tuple(int(d) for d in o.shape) for o in ops)
-        path = choose_path(spec.equation, shapes, 1 << 28)
-        steps = pairwise_steps(spec.equation, list(path))
-        return execute_pairwise(steps, ops, rescale=True)
+        return rescaled_execute(spec.equation, ops, 1 << 28)
 
     return fn
 
@@ -237,12 +234,9 @@ def make_siamese_env_fn(
         ops = _gather_operands(spec, params, states=states, measures=measures)
         if not rescale:
             return _einsum(spec, ops)
-        from .pairwise import choose_path, execute_pairwise, pairwise_steps
+        from .pairwise import rescaled_execute
 
-        shapes = tuple(tuple(int(d) for d in o.shape) for o in ops)
-        path = choose_path(spec.equation, shapes, 1 << 28)
-        steps = pairwise_steps(spec.equation, list(path))
-        return execute_pairwise(steps, ops, rescale=True)
+        return rescaled_execute(spec.equation, ops, 1 << 28)
 
     return fn
 

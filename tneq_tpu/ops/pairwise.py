@@ -30,6 +30,7 @@ contractions jit/fuse on TPU like any other XLA program.
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -147,6 +148,7 @@ def choose_path(
     equation: str,
     shapes: Tuple[Tuple[int, ...], ...],
     max_intermediate: int = 1 << 26,
+    strict: bool = False,
 ) -> Tuple[Tuple[int, int], ...]:
     """Native (pathfinder) path when its intermediates fit memory, else the
     linear row-major sweep.
@@ -183,17 +185,25 @@ def choose_path(
     linear_sz = _max_intermediate_size(equation, shapes, linear)
     if linear_sz <= max_intermediate:
         return tuple(linear)
-    if native_sz is not None and native_sz < linear_sz:
-        raise ValueError(
-            f"no contraction path fits max_intermediate={max_intermediate}: "
-            f"best (native) path needs a {native_sz}-element intermediate "
-            f"(linear fallback: {linear_sz})"
-        )
-    raise ValueError(
-        f"no contraction path fits max_intermediate={max_intermediate}: "
-        f"linear fallback needs a {linear_sz}-element intermediate"
-        + (f" (native path: {native_sz})" if native_sz is not None else "")
+    # No path fits the cap.  strict=True hard-fails; the default keeps the
+    # guard VISIBLE but not fatal — return the smaller of the two paths
+    # with a loud warning, so slow-but-correct contractions that worked
+    # before the cap was enforced keep working (code-review r3: the raise
+    # turned working large-env flows into build-time failures).
+    best, best_sz = (
+        (native, native_sz)
+        if native_sz is not None and native_sz < linear_sz
+        else (linear, linear_sz)
     )
+    msg = (
+        f"no contraction path fits max_intermediate={max_intermediate}: "
+        f"proceeding with a {best_sz}-element intermediate "
+        f"(native: {native_sz}, linear: {linear_sz})"
+    )
+    if strict:
+        raise ValueError(msg)
+    logging.getLogger(__name__).warning(msg)
+    return tuple(best)
 
 
 def execute_pairwise(
@@ -234,6 +244,22 @@ def execute_pairwise(
     return final
 
 
+def rescaled_execute(
+    equation: str,
+    operands: Sequence[jax.Array],
+    max_intermediate: int = 1 << 26,
+):
+    """Plan (memoized via :func:`choose_path`) and execute ``equation``
+    through the per-step-rescaled pairwise executor.  Returns
+    ``(mantissa, log_scale)`` with ``true_value = mantissa·exp(log_scale)``
+    — the one entry point for every rescale=True caller (siamese value/env,
+    two-network overlaps, log_abs_einsum)."""
+    shapes = tuple(tuple(int(d) for d in np.shape(o)) for o in operands)
+    path = choose_path(equation, shapes, max_intermediate)
+    steps = pairwise_steps(equation, list(path))
+    return execute_pairwise(steps, operands, rescale=True)
+
+
 def log_abs_einsum(
     equation: str,
     operands: Sequence[jax.Array],
@@ -243,10 +269,7 @@ def log_abs_einsum(
     float32-stable at any network depth (per-step renormalization)."""
     if not equation.endswith("->"):
         raise ValueError("log_abs_einsum requires a scalar-output equation")
-    shapes = tuple(tuple(int(d) for d in np.shape(o)) for o in operands)
-    path = choose_path(equation, shapes, max_intermediate)
-    steps = pairwise_steps(equation, path)
-    final, logs = execute_pairwise(steps, operands, rescale=True)
+    final, logs = rescaled_execute(equation, operands, max_intermediate)
     return logs + jnp.log(jnp.abs(final) + _TINY)
 
 
@@ -273,6 +296,45 @@ def make_log_abs_overlap_fn(graph, max_intermediate: int = 1 << 26):
     return make_log_abs_two_network_fn(graph, None, max_intermediate)
 
 
+def two_network_interleave(graph_a, graph_b=None):
+    """Shared operand ordering for two-network overlaps: interleave
+    row-major slots of the two networks (A_k then B_k per slot, the
+    boundary-MPS pairing) so the linear fallback stays a boundary sweep.
+    Different core counts (unequal topologies, the GA candidate-vs-goal
+    case) interleave by zip as far as possible and append the remainder.
+
+    Returns ``(equation, slots)`` where ``slots`` is ``[(side, name),...]``
+    ('a' operands come from params_a, 'b' from params_b — the caller
+    conjugates the B side).  Consumed by both the complex/real executor
+    below and the stacked-real pair twin
+    (``complex_pair.make_pair_log_abs_two_network_fn``)."""
+    from .einsum_spec import two_network_spec
+
+    gb = graph_b if graph_b is not None else graph_a
+    spec = two_network_spec(graph_a, gb)
+    lhs, rhs = spec.equation.split("->")
+    subs = lhs.split(",")
+    n = graph_a.ncores
+    order_a = row_major_core_order(graph_a)
+    order_b = row_major_core_order(gb)
+    perm: List[int] = []
+    slots: List[Tuple[str, str]] = []
+    m = min(len(order_a), len(order_b))
+    for i in range(m):
+        perm.append(order_a[i])
+        slots.append(("a", graph_a.cores[order_a[i]].name))
+        perm.append(n + order_b[i])
+        slots.append(("b", gb.cores[order_b[i]].name))
+    for k in order_a[m:]:
+        perm.append(k)
+        slots.append(("a", graph_a.cores[k].name))
+    for k in order_b[m:]:
+        perm.append(n + k)
+        slots.append(("b", gb.cores[k].name))
+    equation = ",".join(subs[p] for p in perm) + "->" + rhs
+    return equation, slots
+
+
 def make_log_abs_two_network_fn(
     graph_a,
     graph_b=None,
@@ -290,34 +352,7 @@ def make_log_abs_two_network_fn(
     ``signed=True``: return ``(mantissa, log_scale)`` — the summable form
     for slice partials (see ``ops/row_scan.py``).
     """
-    from .einsum_spec import two_network_spec
-
-    gb = graph_b if graph_b is not None else graph_a
-    spec = two_network_spec(graph_a, gb)
-    lhs, rhs = spec.equation.split("->")
-    subs = lhs.split(",")
-    n = graph_a.ncores
-    order_a = row_major_core_order(graph_a)
-    order_b = row_major_core_order(gb)
-    # interleave row-major slots of the two networks (A_k then B_k per
-    # slot, the boundary-MPS pairing); different core counts (unequal
-    # topologies, the GA candidate-vs-goal case) interleave by zip as far
-    # as possible and append the remainder
-    perm: List[int] = []
-    slots: List[Tuple[str, str]] = []  # (side, name)
-    m = min(len(order_a), len(order_b))
-    for i in range(m):
-        perm.append(order_a[i])
-        slots.append(("a", graph_a.cores[order_a[i]].name))
-        perm.append(n + order_b[i])
-        slots.append(("b", gb.cores[order_b[i]].name))
-    for k in order_a[m:]:
-        perm.append(k)
-        slots.append(("a", graph_a.cores[k].name))
-    for k in order_b[m:]:
-        perm.append(n + k)
-        slots.append(("b", gb.cores[k].name))
-    equation = ",".join(subs[p] for p in perm) + "->" + rhs
+    equation, slots = two_network_interleave(graph_a, graph_b)
 
     def fn(params_a, params_b):
         ops = []
@@ -328,9 +363,6 @@ def make_log_abs_two_network_fn(
                 ops.append(jnp.conj(params_b[name]))
         if not signed:
             return log_abs_einsum(equation, ops, max_intermediate)
-        shapes = tuple(tuple(int(d) for d in np.shape(o)) for o in ops)
-        path = choose_path(equation, shapes, max_intermediate)
-        steps = pairwise_steps(equation, list(path))
-        return execute_pairwise(steps, ops, rescale=True)
+        return rescaled_execute(equation, ops, max_intermediate)
 
     return fn
