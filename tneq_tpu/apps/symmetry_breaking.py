@@ -272,7 +272,7 @@ def symmetry_breaking(
             trial = pruned + [idx]
             if exp.row_would_empty(trial):
                 if verbose:
-                    print(f"  skip core {idx}: would empty a qubit row")
+                    print(f"  skip core {idx}: would empty a qubit row", flush=True)
                 continue
             key, sub = jax.random.split(key)
             params = current if current is not None else exp.init_params(sub)
@@ -288,10 +288,11 @@ def symmetry_breaking(
                 if verbose:
                     print(
                         f"  pruned core {idx} (now {len(pruned)} pruned), "
-                        f"fidelity={1 - infid:.6f}, steps={int(res.steps)}"
+                        f"fidelity={1 - infid:.6f}, steps={int(res.steps)}",
+                        flush=True,
                     )
             elif verbose:
-                print(f"  core {idx} not prunable (1-F={infid:.3e})")
+                print(f"  core {idx} not prunable (1-F={infid:.3e})", flush=True)
         if not pruned_any:
             break
     return pruned, prune_count
@@ -378,7 +379,7 @@ def symmetry_breaking_batched(
         if not ok.any():
             if verbose:
                 print(f"  no prunable core among {len(candidates)} "
-                      f"(best 1-F={float(infids.min()):.3e})")
+                      f"(best 1-F={float(infids.min()):.3e})", flush=True)
             break
         best = int(np.argmin(np.where(ok, infids, np.inf)))
         idx = candidates[best]
@@ -387,7 +388,8 @@ def symmetry_breaking_batched(
         if verbose:
             print(f"  pruned core {idx} (now {len(pruned)} pruned, "
                   f"1-F={float(infids[best]):.3e}; "
-                  f"{int(ok.sum())}/{len(candidates)} candidates viable)")
+                  f"{int(ok.sum())}/{len(candidates)} candidates viable)",
+                  flush=True)
     return pruned, prune_count
 
 
