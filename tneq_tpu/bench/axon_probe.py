@@ -44,15 +44,21 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    print(f"devices: {jax.devices()}", flush=True)
+    # Backend registration/init itself can block for minutes while the
+    # tunnel's terminal restarts (observed >15 min after a remote-compile
+    # failure) — guard it like any other probe, with first-fetch patience.
+    if _probe("backend-init", lambda: jax.devices(), secs=600) != "ok":
+        print("channel DOWN: backend init hung/errored", flush=True)
+        return 1
     x = jnp.ones((4, 4), jnp.float32)
     c = (x + 1j * x).astype(jnp.complex64)
 
     f_sum = jax.jit(lambda a: jnp.sum(a * 2))
     # NOTE: the re-execution probe goes LAST — if it wedges the channel the
     # process must exit immediately, and we still have the op answers.
+    # The first fetch gets protocol patience (CLAUDE.md: 2s-453s observed).
     probes = [
-        ("eager-fetch", lambda: float(jnp.sum(x @ x))),
+        ("eager-fetch (first)", lambda: float(jnp.sum(x @ x)), 500),
         ("jit-sum-fetch", lambda: float(f_sum(x))),
         ("jit-scan-f32",
          lambda: float(jax.jit(
@@ -72,8 +78,8 @@ def main() -> int:
         ("jit-sum-again (re-execution)", lambda: float(f_sum(x + 1))),
     ]
     results = []
-    for name, fn in probes:
-        r = _probe(name, fn)
+    for name, fn, *secs in probes:
+        r = _probe(name, fn, *(secs or []))
         results.append(r)
         if r == "hang":
             return 1
