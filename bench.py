@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import signal
-import subprocess
 import sys
 import time
 
@@ -241,14 +240,17 @@ def main():
             env["TNEQ_CHAIN_PALLAS"] = "0"
             log("(final attempt: fused chain kernel disabled)")
         log(f"--- TPU attempt {i + 1}/{TPU_ATTEMPTS} (fresh subprocess) ---")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tpu-attempt"],
-                capture_output=True, text=True, env=env,
-                timeout=CHILD_BUDGET_S + 120,  # child alarms exit first
-            )
-        except subprocess.TimeoutExpired:
-            log("child exceeded hard timeout (should not happen)")
+        # TERM-only bound: the child's alarm exits first unless it is
+        # wedged in backend init (alarm-proof) — then the parent TERMs it;
+        # subprocess.run(timeout=) would SIGKILL and wedge the tunnel
+        from tneq_tpu.bench._subproc import run_term_bounded
+
+        r = run_term_bounded(
+            [sys.executable, os.path.abspath(__file__), "--tpu-attempt"],
+            timeout=CHILD_BUDGET_S + 120, env=env, capture_stderr=True,
+        )
+        if r.returncode == -15:
+            log("child wedged in backend init; TERMed (never SIGKILL)")
             continue
         sys.stderr.write(r.stderr)
         for line in r.stdout.splitlines():

@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import signal
-import subprocess
 import sys
 import time
 
@@ -177,8 +176,9 @@ def main(argv=None) -> int:
         env["TNEQ_PLATFORM"] = "cpu"
     # stream the child's stderr live (long runs were previously silent
     # until completion); only stdout (the RESULT line) is captured
-    r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
-                       timeout=CHILD_BUDGET_S + 120, env=env)
+    from ._subproc import run_term_bounded
+
+    r = run_term_bounded(cmd, timeout=CHILD_BUDGET_S + 120, env=env)
     for line in r.stdout.splitlines():
         if line.startswith("RESULT "):
             print(line[len("RESULT "):])

@@ -502,10 +502,12 @@ def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
     import subprocess
     import sys
 
-    r = subprocess.run(
+    from ._subproc import run_term_bounded
+
+    r = run_term_bounded(
         [sys.executable, "-m", "tneq_tpu.bench.flagship", "--mode", "32q",
          "--validate-steps", str(validate_steps), "--prune-steps", "500"],
-        capture_output=True, text=True, timeout=3200,
+        timeout=3200, capture_stderr=True,
     )
     import json as _json
 
