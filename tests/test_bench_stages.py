@@ -76,3 +76,46 @@ def test_window_bench_cli_cpu(tmp_path):
     d = json.loads(line)
     assert d["unit"] == "steps/s" and d["value"] > 0
     assert d["device"] == "cpu"
+
+
+class TestRunTermBounded:
+    """TERM-only child bounding (bench/_subproc.py): the tunnel protocol
+    forbids SIGKILLing TPU clients, and signal.alarm cannot interrupt a
+    child blocked in backend init — the parent-side TERM is the only
+    always-effective bound."""
+
+    def test_normal_exit_captures_stdout(self):
+        import sys
+
+        from tneq_tpu.bench._subproc import run_term_bounded
+
+        r = run_term_bounded([sys.executable, "-c", "print('RESULT 42')"],
+                             timeout=60)
+        assert r.returncode == 0
+        assert "RESULT 42" in r.stdout
+
+    def test_timeout_terms_not_kills(self):
+        import sys
+        import time
+
+        from tneq_tpu.bench._subproc import run_term_bounded
+
+        t0 = time.time()
+        r = run_term_bounded(
+            [sys.executable, "-c", "import time; time.sleep(600)"],
+            timeout=2,
+        )
+        # child died to SIGTERM (rc -15), well before the sleep ends
+        assert r.returncode == -15
+        assert time.time() - t0 < 120
+
+    def test_captures_stderr_when_asked(self):
+        import sys
+
+        from tneq_tpu.bench._subproc import run_term_bounded
+
+        r = run_term_bounded(
+            [sys.executable, "-c", "import sys; sys.stderr.write('oops')"],
+            timeout=60, capture_stderr=True,
+        )
+        assert r.stderr == "oops"
