@@ -26,6 +26,7 @@ full network as an S·G batch per qubit and has no chain specialization.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -127,78 +128,37 @@ def _norm_rows(x, batch_axes: int):
     return x / jax.lax.stop_gradient(s)
 
 
-def chain_sample(
-    graph: CircuitGraph,
-    params,
-    states: Sequence[jax.Array],
-    num_samples: int,
-    K: int,
-    key: jax.Array,
-    bounds: Tuple[float, float] = (-5.0, 5.0),
-    grid_size: int = 200,
-    density_power: int = 1,
-    dtype=jnp.complex64,
-) -> jax.Array:
-    """MPS-chain sampler; same semantics as :func:`tneq_tpu.infer.sample`."""
-    nq = graph.nqubits
-    S, G = num_samples, grid_size
-    grid_x = np.linspace(bounds[0], bounds[1], G, dtype=np.float32)
-    mx_grid = measurement_matrices(jnp.asarray(grid_x)[:, None], K)[:, 0]
-    mx_grid = mx_grid.astype(dtype)
-    grid_x_d = jnp.asarray(grid_x)
+# --- right environments, identity measures (sample-independent) --------
+# r_list[i] = env to the RIGHT of core i (for i = 0..ncores-2): the
+# last core contracted with identities gives env-right-of(ncores-2);
+# absorbing mid core j maps env-right-of(j) -> env-right-of(j-1).
+@jax.jit
+def _right_envs(sites_mid_stacked, last):
+    # last: [a, o, p]; identity measures on BOTH of its sites
+    r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
 
-    sites = _site_tensors(graph, params, [jnp.asarray(s) for s in states])
-    if sites is None:
-        raise ValueError("graph is not in canonical MPS-chain layout")
-
-    # --- right environments, identity measures (sample-independent) -----
-    # r_list[i] = env to the RIGHT of core i (for i = 0..ncores-2): the
-    # last core contracted with identities gives env-right-of(ncores-2);
-    # absorbing mid core j maps env-right-of(j) -> env-right-of(j-1).
-    @jax.jit
-    def right_envs(sites_mid_stacked, last):
-        # last: [a, o, p]; identity measures on BOTH of its sites
-        r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
-
-        def body(carry, A):
-            rr = _norm_rows(
-                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
-            )
-            return rr, rr
-
-        # reverse scan: ys[i] = env AFTER absorbing mids[i:] = env right
-        # of global core i
-        _, rs = jax.lax.scan(body, r, sites_mid_stacked, reverse=True)
-        return rs, r
-
-    mids = sites[1:-1]
-    uniform = bool(mids) and all(m.shape == mids[0].shape for m in mids)
-    if mids and uniform:
-        rs, r_last = right_envs(jnp.stack(mids), sites[-1])
-        r_list = list(rs) + [r_last]
-    elif mids:
-        # non-uniform chain: per-core env programs (still one pass)
-        r = _norm_rows(
-            jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
+    def body(carry, A):
+        rr = _norm_rows(
+            jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
         )
-        r_list = [r]
-        for A in reversed(mids):
-            r = _norm_rows(
-                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), r), 0
-            )
-            r_list.append(r)
-        r_list = r_list[::-1]
-    else:  # two cores: first + last
-        r_list = [
-            _norm_rows(
-                jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
-            )
-        ]
+        return rr, rr
 
-    # --- per-qubit sampling programs (compiled once per shape) ----------
-    # mx_grid / gx ride through every jitted step as ARGUMENTS, never as
-    # closure captures: the axon TPU backend cannot host-copy captured
-    # device arrays during jit lowering (CLAUDE.md channel protocol)
+    # reverse scan: ys[i] = env AFTER absorbing mids[i:] = env right
+    # of global core i
+    _, rs = jax.lax.scan(body, r, sites_mid_stacked, reverse=True)
+    return rs, r
+
+
+@functools.lru_cache(maxsize=64)
+def _step_programs(S: int, G: int, K: int, density_power: int,
+                   dtype_name: str):
+    """The four jitted per-site sampling programs, cached by static
+    config.  Defining (and jitting) these at call time would create fresh
+    function objects — and therefore a fresh, empty jit cache — on EVERY
+    ``chain_sample`` call, recompiling all sites each time (warm sampling
+    measured as slow as cold before this cache)."""
+    dtype = jnp.dtype(dtype_name)
+
     def draw(dens, gx, subkey):
         dens = jnp.clip(dens, min=0.0)
         if density_power == 2:
@@ -252,6 +212,65 @@ def chain_sample(
         dens = born(jnp.einsum("spr,gpr->sg", L, mg))
         y, _ = draw(dens, gx, subkey)
         return y
+
+    return step_first, step_mid, step_last_first, step_last_second
+
+
+def chain_sample(
+    graph: CircuitGraph,
+    params,
+    states: Sequence[jax.Array],
+    num_samples: int,
+    K: int,
+    key: jax.Array,
+    bounds: Tuple[float, float] = (-5.0, 5.0),
+    grid_size: int = 200,
+    density_power: int = 1,
+    dtype=jnp.complex64,
+) -> jax.Array:
+    """MPS-chain sampler; same semantics as :func:`tneq_tpu.infer.sample`."""
+    nq = graph.nqubits
+    S, G = num_samples, grid_size
+    grid_x = np.linspace(bounds[0], bounds[1], G, dtype=np.float32)
+    mx_grid = measurement_matrices(jnp.asarray(grid_x)[:, None], K)[:, 0]
+    mx_grid = mx_grid.astype(dtype)
+    grid_x_d = jnp.asarray(grid_x)
+
+    sites = _site_tensors(graph, params, [jnp.asarray(s) for s in states])
+    if sites is None:
+        raise ValueError("graph is not in canonical MPS-chain layout")
+
+    mids = sites[1:-1]
+    uniform = bool(mids) and all(m.shape == mids[0].shape for m in mids)
+    if mids and uniform:
+        rs, r_last = _right_envs(jnp.stack(mids), sites[-1])
+        r_list = list(rs) + [r_last]
+    elif mids:
+        # non-uniform chain: per-core env programs (still one pass)
+        r = _norm_rows(
+            jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
+        )
+        r_list = [r]
+        for A in reversed(mids):
+            r = _norm_rows(
+                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), r), 0
+            )
+            r_list.append(r)
+        r_list = r_list[::-1]
+    else:  # two cores: first + last
+        r_list = [
+            _norm_rows(
+                jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
+            )
+        ]
+
+    # --- per-qubit sampling programs (compiled once per config+shape) ---
+    # mx_grid / gx ride through every jitted step as ARGUMENTS, never as
+    # closure captures: the axon TPU backend cannot host-copy captured
+    # device arrays during jit lowering (CLAUDE.md channel protocol)
+    step_first, step_mid, step_last_first, step_last_second = _step_programs(
+        S, G, K, density_power, jnp.dtype(dtype).name
+    )
 
     samples = np.zeros((S, nq), np.float32)
     n = graph.ncores
