@@ -317,8 +317,9 @@ class TestLargeNInference:
 
 class TestChainSampler:
     """O(1)-compile MPS-chain sampler (infer/chain_sampling.py): same key
-    sequence and scale-invariant CDFs -> draws match the generic sampler
-    EXACTLY."""
+    sequence and scale-invariant CDFs -> per-site draws match the generic
+    sampler EXACTLY; the fused one-dispatch sweep matches up to rare
+    grid-bin boundary flips (different XLA fusion, last-ulp CDF)."""
 
     @pytest.mark.parametrize("dtype", [jnp.complex64, jnp.float32])
     def test_draws_match_generic_exactly(self, dtype):
@@ -331,8 +332,38 @@ class TestChainSampler:
         kw = dict(num_samples=32, K=3, key=jax.random.PRNGKey(1),
                   grid_size=80, dtype=dtype)
         a = sample(g, params, states, chain=False, **kw)
-        b = sample(g, params, states, **kw)  # auto-dispatches to chain
+        b = sample(g, params, states, fused=False, **kw)  # per-site sweep
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_sweep_matches_per_site(self):
+        """The fused whole-sweep program: deterministic, and each sample
+        row either equals the per-site row exactly or first diverges by
+        at most ~one grid bin (a CDF boundary flip), after which that
+        row's conditional suffix legitimately differs."""
+        from tneq_tpu.graph import mps_graph
+        from tneq_tpu.train.trainer import basis_states
+
+        g = parse_graph(mps_graph(10, dim=2))
+        params = init_params(g, jax.random.PRNGKey(0), jnp.float32)
+        states = basis_states(g, dtype=jnp.float32)
+        kw = dict(num_samples=64, K=2, key=jax.random.PRNGKey(1),
+                  grid_size=80, dtype=jnp.float32)
+        a = np.asarray(sample(g, params, states, fused=True, **kw))
+        a2 = np.asarray(sample(g, params, states, fused=True, **kw))
+        np.testing.assert_array_equal(a, a2)  # deterministic
+        b = np.asarray(sample(g, params, states, fused=False, **kw))
+        bin_w = 10.0 / 79  # grid spacing for bounds=(-5,5), G=80
+        n_ident = 0
+        for ra, rb in zip(a, b):
+            diff = np.nonzero(ra != rb)[0]
+            if diff.size == 0:
+                n_ident += 1
+                continue
+            j = diff[0]
+            # divergence starts as a small bin flip, not garbage
+            assert abs(ra[j] - rb[j]) < 4 * bin_w, (j, ra[j], rb[j])
+        # boundary flips are rare: most rows identical end to end
+        assert n_ident >= len(a) * 3 // 4, f"only {n_ident}/{len(a)} rows"
 
     def test_30q_fast_and_finite(self):
         import time

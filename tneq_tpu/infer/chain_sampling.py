@@ -128,36 +128,9 @@ def _norm_rows(x, batch_axes: int):
     return x / jax.lax.stop_gradient(s)
 
 
-# --- right environments, identity measures (sample-independent) --------
-# r_list[i] = env to the RIGHT of core i (for i = 0..ncores-2): the
-# last core contracted with identities gives env-right-of(ncores-2);
-# absorbing mid core j maps env-right-of(j) -> env-right-of(j-1).
-@jax.jit
-def _right_envs(sites_mid_stacked, last):
-    # last: [a, o, p]; identity measures on BOTH of its sites
-    r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
-
-    def body(carry, A):
-        rr = _norm_rows(
-            jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
-        )
-        return rr, rr
-
-    # reverse scan: ys[i] = env AFTER absorbing mids[i:] = env right
-    # of global core i
-    _, rs = jax.lax.scan(body, r, sites_mid_stacked, reverse=True)
-    return rs, r
-
-
-@functools.lru_cache(maxsize=64)
-def _step_programs(S: int, G: int, K: int, density_power: int,
-                   dtype_name: str):
-    """The four jitted per-site sampling programs, cached by static
-    config.  Defining (and jitting) these at call time would create fresh
-    function objects — and therefore a fresh, empty jit cache — on EVERY
-    ``chain_sample`` call, recompiling all sites each time (warm sampling
-    measured as slow as cold before this cache)."""
-    dtype = jnp.dtype(dtype_name)
+def _step_bodies(S: int, G: int, K: int, density_power: int, dtype):
+    """Un-jitted per-site sampling step bodies (shared by the per-site
+    programs and the fused whole-sweep program)."""
 
     def draw(dens, gx, subkey):
         dens = jnp.clip(dens, min=0.0)
@@ -179,7 +152,6 @@ def _step_programs(S: int, G: int, K: int, density_power: int,
     def born(v):
         return abs_square(v) if jnp.iscomplexobj(v) else v
 
-    @jax.jit
     def step_first(A0, r, mg, gx, subkey):
         # env over o_0: [o, ō]
         env = jnp.einsum("ob,pd,bd->op", A0, jnp.conj(A0), r)
@@ -189,7 +161,6 @@ def _step_programs(S: int, G: int, K: int, density_power: int,
         L = jnp.einsum("ob,sop,pd->sbd", A0, mx_y, jnp.conj(A0))
         return y, _norm_rows(L, 1)
 
-    @jax.jit
     def step_mid(L, A, r, mg, gx, subkey):
         env = jnp.einsum("sac,aob,cpd,bd->sop", L, A, jnp.conj(A), r)
         dens = born(jnp.einsum("sop,gop->sg", env, mg))
@@ -197,7 +168,6 @@ def _step_programs(S: int, G: int, K: int, density_power: int,
         L2 = jnp.einsum("sac,aob,sop,cpd->sbd", L, A, mx_y, jnp.conj(A))
         return y, _norm_rows(L2, 1)
 
-    @jax.jit
     def step_last_first(L, A, mg, gx, subkey):
         # A: [a, o, p]; identity on p
         env = jnp.einsum("sac,aop,cqp->soq", L, A, jnp.conj(A))
@@ -207,13 +177,83 @@ def _step_programs(S: int, G: int, K: int, density_power: int,
         L2 = jnp.einsum("sac,aop,soq,cqr->spr", L, A, mx_y, jnp.conj(A))
         return y, _norm_rows(L2, 1)
 
-    @jax.jit
     def step_last_second(L, mg, gx, subkey):
         dens = born(jnp.einsum("spr,gpr->sg", L, mg))
         y, _ = draw(dens, gx, subkey)
         return y
 
     return step_first, step_mid, step_last_first, step_last_second
+
+
+@functools.lru_cache(maxsize=64)
+def _step_programs(S: int, G: int, K: int, density_power: int,
+                   dtype_name: str):
+    """The four jitted per-site sampling programs, cached by static
+    config.  Defining (and jitting) these at call time would create fresh
+    function objects — and therefore a fresh, empty jit cache — on EVERY
+    ``chain_sample`` call, recompiling all sites each time (warm sampling
+    measured as slow as cold before this cache)."""
+    bodies = _step_bodies(S, G, K, density_power, jnp.dtype(dtype_name))
+    return tuple(jax.jit(b) for b in bodies)
+
+
+@functools.lru_cache(maxsize=64)
+def _sweep_program(S: int, G: int, K: int, density_power: int,
+                   dtype_name: str, n_mids: int):
+    """ONE jitted program for the whole sweep of a uniform chain: right
+    environments + key schedule + every per-site draw, returning the full
+    ``[S, nq]`` sample block.  The per-site host loop costs one device
+    round-trip per qubit (~0.13 s each on the tunnel — ~4 s of pure
+    latency at 30 qubits even fully warm); this runs the identical math
+    in a single dispatch.  The key schedule unrolls the host loop's exact
+    ``jax.random.split`` sequence, so draws are BIT-IDENTICAL to the
+    per-site path (and to the generic sampler)."""
+    step_first, step_mid, step_last_first, step_last_second = _step_bodies(
+        S, G, K, density_power, jnp.dtype(dtype_name)
+    )
+
+    @jax.jit
+    def sweep(key, A0, mids, last, mg, gx):
+        # right environments, identity measures (sample-independent):
+        # rs[i] = env to the RIGHT of core i — the last core contracted
+        # with identities gives env-right-of(ncores-2); absorbing mid
+        # core j maps env-right-of(j) -> env-right-of(j-1)
+        r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
+
+        def renv_body(carry, A):
+            rr = _norm_rows(
+                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
+            )
+            return rr, rr
+
+        _, rs = jax.lax.scan(renv_body, r, mids, reverse=True)
+        rs_mid = jnp.concatenate([rs[1:], r[None]], axis=0)
+
+        # the host loop's split sequence, unrolled (static n_mids)
+        key, k0 = jax.random.split(key)
+        kmids = []
+        for _ in range(n_mids):
+            key, ki = jax.random.split(key)
+            kmids.append(ki)
+        kmids = jnp.stack(kmids)
+        key, ka = jax.random.split(key)
+        key, kb = jax.random.split(key)
+
+        y0, L = step_first(A0, rs[0], mg, gx, k0)
+
+        def body(L, inp):
+            A, r_i, ki = inp
+            y, L2 = step_mid(L, A, r_i, mg, gx, ki)
+            return L2, y
+
+        L, ys = jax.lax.scan(body, L, (mids, rs_mid, kmids))
+        ya, L = step_last_first(L, last, mg, gx, ka)
+        yb = step_last_second(L, mg, gx, kb)
+        return jnp.concatenate(
+            [y0[None], ys, ya[None], yb[None]], axis=0
+        ).T  # [S, nq]
+
+    return sweep
 
 
 def chain_sample(
@@ -227,8 +267,18 @@ def chain_sample(
     grid_size: int = 200,
     density_power: int = 1,
     dtype=jnp.complex64,
+    fused: bool = True,
 ) -> jax.Array:
-    """MPS-chain sampler; same semantics as :func:`tneq_tpu.infer.sample`."""
+    """MPS-chain sampler; same semantics as :func:`tneq_tpu.infer.sample`.
+
+    ``fused=True`` (default) runs uniform chains through the ONE-dispatch
+    whole-sweep program.  Its draws follow the identical algorithm and key
+    schedule as the per-site path but are not bit-identical to it: XLA
+    fuses the larger program differently, and a last-ulp CDF difference at
+    a grid-bin boundary occasionally flips one draw by a bin (after which
+    that sample row's conditional suffix diverges — correct sampling
+    either way).  ``fused=False`` keeps the per-site dispatch whose draws
+    match the generic sampler exactly (used by the parity tests)."""
     nq = graph.nqubits
     S, G = num_samples, grid_size
     grid_x = np.linspace(bounds[0], bounds[1], G, dtype=np.float32)
@@ -242,10 +292,14 @@ def chain_sample(
 
     mids = sites[1:-1]
     uniform = bool(mids) and all(m.shape == mids[0].shape for m in mids)
-    if mids and uniform:
-        rs, r_last = _right_envs(jnp.stack(mids), sites[-1])
-        r_list = list(rs) + [r_last]
-    elif mids:
+    if mids and uniform and fused:
+        # fused whole-sweep program: right envs + every draw in ONE
+        # dispatch (the per-site loop pays a tunnel round-trip per qubit)
+        sweep = _sweep_program(S, G, K, density_power,
+                               jnp.dtype(dtype).name, len(mids))
+        return sweep(key, sites[0], jnp.stack(mids), sites[-1],
+                     mx_grid, grid_x_d)
+    if mids:
         # non-uniform chain: per-core env programs (still one pass)
         r = _norm_rows(
             jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0

@@ -45,6 +45,7 @@ def sample(
     dtype=jnp.complex64,
     rescale=None,
     chain=None,
+    fused: bool = True,
 ) -> jax.Array:
     """Draw ``(num_samples, nqubits)`` continuous samples from the model.
 
@@ -63,6 +64,11 @@ def sample(
     of one whole-network env program per qubit) — pass ``chain=False``
     to force the generic path, ``chain=True`` to require the sweep
     sampler (raises if the graph is not a canonical MPS chain).
+
+    ``fused`` (uniform chains only): run the whole sweep as ONE compiled
+    program — one device round-trip per `sample` call instead of one per
+    qubit.  ``fused=False`` keeps the per-site dispatch, whose draws are
+    bit-identical to this generic sampler (see ``chain_sampling``).
     """
     nq = graph.nqubits
     if any(r != K for r in graph.output_ranks):
@@ -82,7 +88,7 @@ def sample(
             return chain_sample(
                 graph, params, states, num_samples, K, key,
                 bounds=bounds, grid_size=grid_size,
-                density_power=density_power, dtype=dtype,
+                density_power=density_power, dtype=dtype, fused=fused,
             )
     if rescale is None:
         rescale = nq >= 16
