@@ -19,6 +19,7 @@ next #10).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -30,6 +31,50 @@ from ..ops.contract import abs_square, make_siamese_env_fn
 from ..ops.features import measurement_matrices
 
 __all__ = ["sample"]
+
+
+@functools.lru_cache(maxsize=512)
+def _env_step_program(graph: CircuitGraph, q: int, rescale: bool, S: int,
+                      G: int, K: int, density_power: int, dtype_name: str):
+    """Jitted per-qubit env+draw program, cached by (graph, qubit, static
+    config) so repeated ``sample()`` calls reuse compiled programs instead
+    of re-jitting every qubit's whole-network contraction each call.
+
+    params/states ride through as ARGUMENTS (not closure captures):
+    captured device arrays fail jit lowering on the axon TPU backend
+    (CLAUDE.md channel protocol)."""
+    env_fn = make_siamese_env_fn(graph, q, rescale=rescale)
+    dtype = jnp.dtype(dtype_name)
+    nq = graph.nqubits
+
+    @jax.jit
+    def step(params, states, persistent, subkey, mx_grid, grid_x_d):
+        measures = [persistent[i] for i in range(nq)]  # open slot unused
+        env = env_fn(params, states, measures)  # [S, K, K] ([K, K] if nq==1)
+        if rescale:
+            env, _ = env  # scale cancels in the per-sample CDF normalization
+        if env.ndim == 2:
+            env = jnp.broadcast_to(env[None], (S,) + env.shape)
+        v = jnp.einsum("skl,gkl->sg", env, mx_grid)
+        dens = abs_square(v) if jnp.iscomplexobj(v) else v
+        if density_power == 2:
+            dens = dens * dens
+        dens = jnp.clip(dens, min=0.0)
+        cdf = jnp.cumsum(dens, axis=1)
+        cdf = cdf / (cdf[:, -1:] + 1e-10)
+        u = jax.random.uniform(subkey, (S, 1), jnp.float32)
+        idx = jnp.sum((cdf < u).astype(jnp.int32), axis=1)
+        idx = jnp.clip(idx, max=G - 2)[:, None]
+        cdf_l = jnp.take_along_axis(cdf, idx, axis=1)
+        cdf_r = jnp.take_along_axis(cdf, idx + 1, axis=1)
+        x_l = grid_x_d[idx[:, 0]][:, None]
+        x_r = grid_x_d[idx[:, 0] + 1][:, None]
+        # clip: a zero-density (flat-CDF) bin makes the raw ratio unbounded
+        frac = jnp.clip((u - cdf_l) / (cdf_r - cdf_l + 1e-10), 0.0, 1.0)
+        y = x_l + frac * (x_r - x_l)  # (S, 1)
+        return y[:, 0], measurement_matrices(y, K)[:, 0].astype(dtype)
+
+    return step
 
 
 def sample(
@@ -99,40 +144,13 @@ def sample(
     mx_grid = measurement_matrices(jnp.asarray(grid_x)[:, None], K)[:, 0]
     mx_grid = mx_grid.astype(dtype)
 
-    # params/states must be ARGUMENTS (not closure captures): captured
-    # device arrays fail jit lowering on the axon TPU backend (CLAUDE.md)
-    def _step(env_fn, params, states, persistent, subkey, mx_grid, grid_x_d):
-        measures = [persistent[i] for i in range(nq)]  # open slot unused
-        env = env_fn(params, states, measures)  # [S, K, K] ([K, K] if nq==1)
-        if rescale:
-            env, _ = env  # scale cancels in the per-sample CDF normalization
-        if env.ndim == 2:
-            env = jnp.broadcast_to(env[None], (S,) + env.shape)
-        v = jnp.einsum("skl,gkl->sg", env, mx_grid)
-        dens = abs_square(v) if jnp.iscomplexobj(v) else v
-        if density_power == 2:
-            dens = dens * dens
-        dens = jnp.clip(dens, min=0.0)
-        cdf = jnp.cumsum(dens, axis=1)
-        cdf = cdf / (cdf[:, -1:] + 1e-10)
-        u = jax.random.uniform(subkey, (S, 1), jnp.float32)
-        idx = jnp.sum((cdf < u).astype(jnp.int32), axis=1)
-        idx = jnp.clip(idx, max=G - 2)[:, None]
-        cdf_l = jnp.take_along_axis(cdf, idx, axis=1)
-        cdf_r = jnp.take_along_axis(cdf, idx + 1, axis=1)
-        x_l = grid_x_d[idx[:, 0]][:, None]
-        x_r = grid_x_d[idx[:, 0] + 1][:, None]
-        # clip: a zero-density (flat-CDF) bin makes the raw ratio unbounded
-        frac = jnp.clip((u - cdf_l) / (cdf_r - cdf_l + 1e-10), 0.0, 1.0)
-        y = x_l + frac * (x_r - x_l)  # (S, 1)
-        return y[:, 0], measurement_matrices(y, K)[:, 0].astype(dtype)
-
     # one jitted program per qubit (the open-leg position changes the
-    # equation); each compiles a single S-batch siamese contraction
+    # equation); each compiles a single S-batch siamese contraction.
+    # Cached at module level — building them here would recompile every
+    # qubit's whole-network env program on EVERY sample() call.
     steps = [
-        jax.jit(lambda p, st, pers, k, mg, gx,
-                _fn=make_siamese_env_fn(graph, q, rescale=rescale):
-                _step(_fn, p, st, pers, k, mg, gx))
+        _env_step_program(graph, q, bool(rescale), S, G, K,
+                          density_power, jnp.dtype(dtype).name)
         for q in range(nq)
     ]
 
