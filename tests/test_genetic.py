@@ -107,6 +107,28 @@ class TestGeneration:
         for soc in gen.societies.values():
             assert len(soc.individuals) == 6  # 2 parents x 3 copies
 
+    def test_evolve_elitism_preserves_best_graph(self):
+        gen = Generation(
+            name="G000",
+            generation_property=self.GP,
+            evolution_property={"top_k": 2, "n_copy": 3, "elitism": 1},
+            tn_size=3,
+            rng=np.random.default_rng(0),
+        )
+        for soc in gen.societies.values():
+            for i, indv in enumerate(soc.individuals):
+                indv.set_training_result(0.1 * i, 10)
+        gen.evaluate()
+        best_graphs = {
+            name: soc.best.graph.to_dsl()
+            for name, soc in gen.societies.items()
+        }
+        gen.evolve()
+        for name, soc in gen.societies.items():
+            assert len(soc.individuals) == 6
+            # the first offspring is the top parent carried over unmutated
+            assert soc.individuals[0].graph.to_dsl() == best_graphs[name]
+
 
 @pytest.fixture(scope="module")
 def goal():

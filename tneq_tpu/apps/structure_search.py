@@ -37,6 +37,10 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--crossover-prob", type=float, default=0.0,
                    help="probability an offspring pair comes from "
                         "single-qubit-line crossover instead of mutation")
+    p.add_argument("--elitism", type=int, default=0,
+                   help="carry this many top parents over unmutated each "
+                        "generation (0 = reference parity: every offspring "
+                        "is mutated, so per-generation best can regress)")
     p.add_argument("--train-steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--method", default="adam")
@@ -83,7 +87,8 @@ def main(argv: Optional[Sequence[str]] = None):
             },
         },
         evolution_property={"top_k": args.top_k, "n_copy": args.n_copy,
-                            "crossover_prob": args.crossover_prob},
+                            "crossover_prob": args.crossover_prob,
+                            "elitism": args.elitism},
         max_generation=args.generations,
         seed=args.seed,
         devices=(jax.local_devices()[: args.devices] if args.devices else None),

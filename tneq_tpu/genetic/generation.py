@@ -65,7 +65,12 @@ class Generation:
     (2), ``sparsity_threshold`` (10.0), ``society_property.society`` — a list
     of per-society dicts with ``n_individuals_span`` (20),
     ``graph_string_template``, ``fitness_func``.
-    ``evolution_property``: ``top_k`` (5), ``n_copy`` (4), ``mutation_prob``.
+    ``evolution_property``: ``top_k`` (5), ``n_copy`` (4), ``mutation_prob``,
+    ``elitism`` (0) — number of top parents carried over UNMUTATED each
+    generation.  The reference mutates every offspring
+    (``mpi_generation.py:613-639``), so its best fitness can regress between
+    generations; ``elitism`` defaults to 0 for behavioral parity and >0 makes
+    best-so-far monotone.
     """
 
     def __init__(
@@ -213,6 +218,7 @@ class Generation:
         top_k = self.evolution_property.get("top_k", 5)
         n_copy = self.evolution_property.get("n_copy", 4)
         cx_prob = float(self.evolution_property.get("crossover_prob", 0.0))
+        elitism = int(self.evolution_property.get("elitism", 0))
         for name, soc in self.societies.items():
             ranked = sorted(
                 soc.individuals,
@@ -231,6 +237,16 @@ class Generation:
                 counter += 1
                 return s
 
+            for p in parents[: min(elitism, len(parents))]:
+                if len(offspring) >= target:
+                    break
+                # carried over UNMUTATED (same graph, fresh individual)
+                offspring.append(
+                    self._new_individual(
+                        next_scope(), p.graph.to_dsl(), (p.scope,),
+                        soc.fitness_func,
+                    )
+                )
             while len(offspring) < target:
                 if (
                     cx_prob > 0.0
