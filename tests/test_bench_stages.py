@@ -78,6 +78,44 @@ def test_window_bench_cli_cpu(tmp_path):
     assert d["device"] == "cpu"
 
 
+def _run_probe_cpu(module, argv, timeout=420):
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, TNEQ_PLATFORM="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", module, *argv],
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+
+
+def test_large_n_probe_cli_cpu(tmp_path):
+    """large_n_probe end-to-end on the CPU backend at tiny scale."""
+    out = tmp_path / "ln.json"
+    r = _run_probe_cpu(
+        "tneq_tpu.bench.large_n_probe",
+        ["--qubits", "8", "--dim", "4", "--steps", "5",
+         "--samples", "4", "--out", str(out)],
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    d = json.loads(out.read_text())
+    assert d["device"] == "cpu" and d["value"] > 0 and d["sample_finite"]
+
+
+def test_sample_probe_cli_cpu(tmp_path):
+    """sample_probe end-to-end on the CPU backend at tiny scale."""
+    out = tmp_path / "sp.json"
+    r = _run_probe_cpu(
+        "tneq_tpu.bench.sample_probe",
+        ["--qubits", "8", "--samples", "4", "--grid", "50",
+         "--out", str(out)],
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    d = json.loads(out.read_text())
+    assert d["device"] == "cpu" and d["finite"]
+
+
 class TestRunTermBounded:
     """TERM-only child bounding (bench/_subproc.py): the tunnel protocol
     forbids SIGKILLing TPU clients, and signal.alarm cannot interrupt a

@@ -41,6 +41,7 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    import tneq_tpu  # noqa: F401  (honors TNEQ_PLATFORM before any device op)
     import jax
     import jax.numpy as jnp
 
@@ -136,6 +137,7 @@ def main(argv=None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write(line + "\n")
+    signal.alarm(0)
     return 0 if finite else 1
 
 
