@@ -249,10 +249,18 @@ def main():
             [sys.executable, os.path.abspath(__file__), "--tpu-attempt"],
             timeout=CHILD_BUDGET_S + 120, env=env, capture_stderr=True,
         )
-        if r.returncode == -15:
-            log("child wedged in backend init; TERMed (never SIGKILL)")
-            continue
         sys.stderr.write(r.stderr)
+        if getattr(r, "abandoned", False):
+            # the child survived both TERMs (wedged in alarm-proof backend
+            # init) and is STILL RUNNING — spawning another attempt would
+            # put two clients on the tunnel (CLAUDE.md: serialize TPU
+            # access), so stop trying and fall back to CPU
+            log("child wedged and abandoned (still alive); no further "
+                "TPU attempts this run")
+            break
+        if r.returncode == -15:
+            log("child exceeded its budget and died to SIGTERM")
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("RESULT "):
                 d = json.loads(line[len("RESULT "):])

@@ -107,6 +107,20 @@ class TestGeneration:
         for soc in gen.societies.values():
             assert len(soc.individuals) == 6  # 2 parents x 3 copies
 
+    def test_mutate_chain_stays_renderable(self):
+        # regression: on an MPS chain (single-tensor boundary lines) a
+        # removal mutation could empty a line, crashing the next
+        # generation's to_dsl round-trip mid-search
+        from tneq_tpu.graph.generators import mps_graph
+
+        indv = Individual(
+            scope="m", graph_string=mps_graph(12, 2),
+            rng=np.random.default_rng(7),
+        )
+        for _ in range(60):
+            indv.mutate()
+            assert indv.graph.to_dsl()  # renderable after every mutation
+
     def test_evolve_elitism_preserves_best_graph(self):
         gen = Generation(
             name="G000",
@@ -127,7 +141,22 @@ class TestGeneration:
         for name, soc in gen.societies.items():
             assert len(soc.individuals) == 6
             # the first offspring is the top parent carried over unmutated
-            assert soc.individuals[0].graph.to_dsl() == best_graphs[name]
+            elite = soc.individuals[0]
+            assert elite.graph.to_dsl() == best_graphs[name]
+            # ... with its evaluation carried (no retraining)
+            assert elite.status.finished and elite.report_loss == [0.0]
+
+        # the carried evaluation survives the next-generation re-init
+        child_gen = Generation(
+            parent=gen, name="G001",
+            generation_property=self.GP,
+            evolution_property={"top_k": 2, "n_copy": 3, "elitism": 1},
+            tn_size=3, rng=np.random.default_rng(1),
+        )
+        for soc in child_gen.societies.values():
+            elite = soc.individuals[0]
+            assert elite.status.finished and elite.report_loss == [0.0]
+        assert child_gen.next_to_evaluate() is not None  # non-elites queue
 
 
 @pytest.fixture(scope="module")

@@ -283,6 +283,17 @@ class TestMutableBoundaryRanks:
         # B inherits A's input-boundary rank (3), not an invented default
         assert g.to_dsl() == "-3-B-5-\n-3-B-5-"
 
+    def test_remove_only_tensor_raises(self):
+        from tneq_tpu.graph.mutable import MutableGraph
+
+        # MPS boundary lines carry a single tensor; removing it would
+        # leave an unrenderable empty line (crashed 30q GA runs)
+        g = MutableGraph("-2-A-2-\n-2-A-2-B-2-\n-2-B-2-")
+        with pytest.raises(ValueError, match="only tensor"):
+            g.remove_tensor_from_qubit(0, "A")
+        g.remove_tensor_from_qubit(1, "A")  # two-tensor line is fine
+        assert g.to_dsl()
+
     def test_zero_boundary_raises(self):
         from tneq_tpu.graph.mutable import MutableGraph
 

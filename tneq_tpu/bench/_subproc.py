@@ -10,8 +10,8 @@ restart), so the parent-side bound is the only one that always fires.
 
 :func:`run_term_bounded` bounds the child with plain SIGTERM (default
 disposition: kernel-level terminate, works even while blocked in C) and
-NEVER escalates to SIGKILL; if a child survives two TERMs it is abandoned
-(reported as rc ``-15``) rather than killed.
+NEVER escalates to SIGKILL; a child that survives two TERMs is abandoned
+(``abandoned=True``, rc ``-15``) rather than killed.
 """
 
 from __future__ import annotations
@@ -25,11 +25,15 @@ __all__ = ["run_term_bounded"]
 def run_term_bounded(cmd, timeout, env=None, capture_stderr=False):
     """Run ``cmd`` capturing stdout, bounded by SIGTERM (never SIGKILL).
 
-    Returns an object with ``returncode`` / ``stdout`` / ``stderr``
-    (mirroring ``subprocess.run``).  ``capture_stderr=False`` streams the
-    child's stderr live to the parent's (long TPU runs stay visible).
-    On timeout the child gets SIGTERM, then one more after a grace wait;
-    a child that survives both is left running and ``returncode`` is -15.
+    Returns an object with ``returncode`` / ``stdout`` / ``stderr`` /
+    ``abandoned`` (mirroring ``subprocess.run`` plus the abandonment
+    flag).  ``capture_stderr=False`` streams the child's stderr live to
+    the parent's (long TPU runs stay visible).  On timeout the child gets
+    SIGTERM, then one more after a grace wait; a child that survives both
+    is **left running** with ``abandoned=True`` and ``returncode`` -15.
+    ``abandoned=False`` with rc -15 means the child died to the TERM —
+    callers that must serialize TPU access (one client at a time) should
+    stop spawning further children only when ``abandoned`` is set.
     """
     proc = subprocess.Popen(
         cmd,
@@ -41,18 +45,22 @@ def run_term_bounded(cmd, timeout, env=None, capture_stderr=False):
     try:
         out, err = proc.communicate(timeout=timeout)
         return SimpleNamespace(
-            returncode=proc.returncode, stdout=out or "", stderr=err or ""
+            returncode=proc.returncode, stdout=out or "", stderr=err or "",
+            abandoned=False,
         )
     except subprocess.TimeoutExpired:
         pass
     proc.terminate()
-    for grace in (60, 120):
+    for grace, re_term in ((60, True), (120, False)):
         try:
             out, err = proc.communicate(timeout=grace)
             return SimpleNamespace(
-                returncode=proc.returncode, stdout=out or "", stderr=err or ""
+                returncode=proc.returncode, stdout=out or "", stderr=err or "",
+                abandoned=False,
             )
         except subprocess.TimeoutExpired:
-            proc.terminate()
+            if re_term:
+                proc.terminate()
     # Still alive after two TERMs: abandon, never SIGKILL a tunnel client.
-    return SimpleNamespace(returncode=-15, stdout="", stderr="")
+    return SimpleNamespace(returncode=-15, stdout="", stderr="",
+                           abandoned=True)

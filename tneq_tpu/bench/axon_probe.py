@@ -46,7 +46,10 @@ def main() -> int:
 
     # Backend registration/init itself can block for minutes while the
     # tunnel's terminal restarts (observed >15 min after a remote-compile
-    # failure) — guard it like any other probe, with first-fetch patience.
+    # failure).  The alarm here fires only if init RETURNS late — a fully
+    # blocked init retries its gRPC connect through EINTR and never comes
+    # back to Python, so the only always-effective bound is a parent-side
+    # `timeout -s TERM` around this process (CLAUDE.md protocol).
     if _probe("backend-init", lambda: jax.devices(), secs=600) != "ok":
         print("channel DOWN: backend init hung/errored", flush=True)
         return 1

@@ -499,7 +499,6 @@ def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
     """Flagship 32q x 5c network-mode run via the channel-protocol-safe
     subprocess runner (``bench/flagship.py``).  Long: select explicitly
     (``--stages 9 --timeout 3200``)."""
-    import subprocess
     import sys
 
     from ._subproc import run_term_bounded

@@ -67,10 +67,12 @@ class Generation:
     ``graph_string_template``, ``fitness_func``.
     ``evolution_property``: ``top_k`` (5), ``n_copy`` (4), ``mutation_prob``,
     ``elitism`` (0) — number of top parents carried over UNMUTATED each
-    generation.  The reference mutates every offspring
+    generation, with their evaluation results intact (no retraining: fit
+    results are seed-sensitive, so re-evaluating the same graph could score
+    it worse).  The reference mutates every offspring
     (``mpi_generation.py:613-639``), so its best fitness can regress between
-    generations; ``elitism`` defaults to 0 for behavioral parity and >0 makes
-    best-so-far monotone.
+    generations; ``elitism`` defaults to 0 for behavioral parity and >0
+    makes per-generation best fitness non-increasing.
     """
 
     def __init__(
@@ -121,11 +123,16 @@ class Generation:
                         if not indv.parents
                         else indv.parents + (indv.scope,)
                     )
-                    new.individuals.append(
-                        self._new_individual(
-                            scope, indv.graph.to_dsl(), parents, soc.fitness_func
-                        )
+                    ni = self._new_individual(
+                        scope, indv.graph.to_dsl(), parents, soc.fitness_func
                     )
+                    if indv.status.finished and indv.report_loss:
+                        # elite carried over with its evaluation intact
+                        # (next_to_evaluate skips finished individuals)
+                        ni.report_loss = list(indv.report_loss)
+                        ni.status.repeated = indv.status.repeated
+                        ni.status.finished = True
+                    new.individuals.append(ni)
                 self.societies[name] = new
                 self.indv_to_distribute += new.individuals
             return
@@ -240,13 +247,20 @@ class Generation:
             for p in parents[: min(elitism, len(parents))]:
                 if len(offspring) >= target:
                     break
-                # carried over UNMUTATED (same graph, fresh individual)
-                offspring.append(
-                    self._new_individual(
-                        next_scope(), p.graph.to_dsl(), (p.scope,),
-                        soc.fitness_func,
-                    )
+                # carried over UNMUTATED, with the parent's evaluation
+                # results: the elite keeps its measured fitness instead of
+                # being retrained from a fresh random init (fit results
+                # are seed-sensitive, so a re-evaluation could score the
+                # same graph worse and per-generation best would regress)
+                child = self._new_individual(
+                    next_scope(), p.graph.to_dsl(), (p.scope,),
+                    soc.fitness_func,
                 )
+                if p.report_loss:
+                    child.report_loss = list(p.report_loss)
+                    child.status.repeated = p.status.repeated
+                    child.status.finished = True
+                offspring.append(child)
             while len(offspring) < target:
                 if (
                     cx_prob > 0.0

@@ -89,11 +89,13 @@ class Individual:
         """One random structural mutation: bond flip, tensor insert, or
         tensor removal on a random qubit, retried until one succeeds."""
         op = int(self.rng.integers(0, 3))
-        qubit = int(self.rng.integers(0, self.dim))
         for _ in range(max_tries):
+            # re-draw the qubit every try: an invalid (qubit, op) pair —
+            # e.g. removing from a single-tensor line — would otherwise
+            # retry the same doomed site until the budget runs out
+            qubit = int(self.rng.integers(0, self.dim))
             line = self.graph.lines[qubit]
             if not line:
-                qubit = int(self.rng.integers(0, self.dim))
                 continue
             entry = line[int(self.rng.integers(0, len(line)))]
             try:

@@ -157,6 +157,12 @@ class MutableGraph:
         idx = next((i for i, (n, _, _) in enumerate(line) if n == name), None)
         if idx is None:
             raise ValueError(f"tensor {name} not on qubit {qubit}")
+        if len(line) == 1:
+            # an empty qubit line has no DSL rendering (and no physical
+            # meaning in the siamese model) — the reference's remove allows
+            # it and its search would crash on the next to_string; here the
+            # GA's mutation-retry loop treats it as an invalid mutation
+            raise ValueError("cannot remove the only tensor on a qubit line")
         _, lb, rb = line[idx]
         if idx == 0 and len(line) > 1:
             new_bond = lb if lb > 0 else 2

@@ -197,6 +197,23 @@ def _step_programs(S: int, G: int, K: int, density_power: int,
     return tuple(jax.jit(b) for b in bodies)
 
 
+@jax.jit
+def _right_envs(mids, last):
+    """Right environments of a uniform chain (identity measures) as one
+    compiled reverse scan: ``rs[i]`` = env to the right of global core
+    ``i``; the bare last-core env closes the list."""
+    r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
+
+    def body(carry, A):
+        rr = _norm_rows(
+            jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
+        )
+        return rr, rr
+
+    _, rs = jax.lax.scan(body, r, mids, reverse=True)
+    return rs, r
+
+
 @functools.lru_cache(maxsize=64)
 def _sweep_program(S: int, G: int, K: int, density_power: int,
                    dtype_name: str, n_mids: int):
@@ -206,8 +223,11 @@ def _sweep_program(S: int, G: int, K: int, density_power: int,
     round-trip per qubit (~0.13 s each on the tunnel — ~4 s of pure
     latency at 30 qubits even fully warm); this runs the identical math
     in a single dispatch.  The key schedule unrolls the host loop's exact
-    ``jax.random.split`` sequence, so draws are BIT-IDENTICAL to the
-    per-site path (and to the generic sampler)."""
+    ``jax.random.split`` sequence — same algorithm, same keys — but draws
+    are NOT guaranteed bit-identical to the per-site path: XLA fuses the
+    larger program differently, and a last-ulp CDF difference at a
+    grid-bin boundary occasionally flips one draw by a bin (see
+    ``chain_sample``'s docstring and the parity tests)."""
     step_first, step_mid, step_last_first, step_last_second = _step_bodies(
         S, G, K, density_power, jnp.dtype(dtype_name)
     )
@@ -299,7 +319,13 @@ def chain_sample(
                                jnp.dtype(dtype).name, len(mids))
         return sweep(key, sites[0], jnp.stack(mids), sites[-1],
                      mx_grid, grid_x_d)
-    if mids:
+    if mids and uniform:
+        # per-site dispatch (fused=False) on a uniform chain: the right
+        # environments still run as ONE jitted reverse scan (module-level
+        # program, shape-cached) instead of n_mids eager device ops
+        rs, r_last = _right_envs(jnp.stack(mids), sites[-1])
+        r_list = list(rs) + [r_last]
+    elif mids:
         # non-uniform chain: per-core env programs (still one pass)
         r = _norm_rows(
             jnp.einsum("aop,bop->ab", sites[-1], jnp.conj(sites[-1])), 0
