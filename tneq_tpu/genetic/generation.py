@@ -130,6 +130,8 @@ class Generation:
                         # elite carried over with its evaluation intact
                         # (next_to_evaluate skips finished individuals)
                         ni.report_loss = list(indv.report_loss)
+                        ni.report_loss_iter = list(indv.report_loss_iter)
+                        ni.report_loss_reason = list(indv.report_loss_reason)
                         ni.status.repeated = indv.status.repeated
                         ni.status.finished = True
                     new.individuals.append(ni)
@@ -258,6 +260,8 @@ class Generation:
                 )
                 if p.report_loss:
                     child.report_loss = list(p.report_loss)
+                    child.report_loss_iter = list(p.report_loss_iter)
+                    child.report_loss_reason = list(p.report_loss_reason)
                     child.status.repeated = p.status.repeated
                     child.status.finished = True
                 offspring.append(child)
