@@ -125,12 +125,16 @@ def _measure(force_cpu: bool) -> tuple:
         t0 = time.time()
         out = float(compiled(params, target))  # fetch = completion barrier
         dt = time.time() - t0
+        from tneq_tpu.bench._measure import remeasure_steps
+
         n_timed = BENCH_STEPS
-        if not force_cpu and device != "cpu" and dt < 2.0:
-            # fast path (fused chain kernel): the one-time dispatch+fetch
-            # round-trip dominates a 200-step scan — re-measure with a
-            # scan long enough that device exec is >=90% of the wall
-            n_timed = min(20000, max(1000, int(BENCH_STEPS * 8.0 / dt)))
+        n2 = remeasure_steps(BENCH_STEPS, dt) if (
+            not force_cpu and device != "cpu") else None
+        if n2 is not None:
+            # the one-time dispatch+fetch round-trip dominates a 200-step
+            # scan — re-measure with a scan long enough that device exec
+            # is >=90% of the wall (shared rule: bench/_measure.py)
+            n_timed = n2
             log(f"fast program ({dt:.2f}s/{BENCH_STEPS} steps): "
                 f"re-measuring with a {n_timed}-step scan")
             steps2, p2, t2 = _build_step_fn(n_timed)

@@ -62,5 +62,15 @@ def run_term_bounded(cmd, timeout, env=None, capture_stderr=False):
             if re_term:
                 proc.terminate()
     # Still alive after two TERMs: abandon, never SIGKILL a tunnel client.
+    # Close our ends of its pipes: if the child ever unwedges and writes,
+    # it gets EPIPE and dies on its first print instead of lingering as a
+    # second live tunnel client (serialize-TPU-access rule) — and the
+    # parent does not leak the FDs.
+    for pipe in (proc.stdout, proc.stderr):
+        if pipe is not None:
+            try:
+                pipe.close()
+            except OSError:
+                pass
     return SimpleNamespace(returncode=-15, stdout="", stderr="",
                            abandoned=True)

@@ -16,7 +16,8 @@ class ProbeTimeout(Exception):
     pass
 
 
-def _probe(name: str, fn, secs: int = 75) -> bool:
+def _probe(name: str, fn, secs: int = 75) -> str:
+    # returns 'ok' | 'hang' | 'error' — compare against 'ok', never truthiness
     def handler(signum, frame):
         raise ProbeTimeout(name)
 

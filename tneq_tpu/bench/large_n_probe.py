@@ -86,11 +86,14 @@ def main(argv=None) -> int:
     t0 = time.time()
     out = float(compiled(params, target))  # final fetch = completion barrier
     dt = time.time() - t0
+    from tneq_tpu.bench._measure import remeasure_steps
+
     n_timed = args.steps
-    if device != "cpu" and dt < 2.0:
+    n2 = remeasure_steps(args.steps, dt) if device != "cpu" else None
+    if n2 is not None:
         # round-trip-dominated: re-measure with a scan long enough that
-        # device exec is >=90% of the wall (same rule as bench.py)
-        n_timed = min(20000, max(1000, int(args.steps * 8.0 / dt)))
+        # device exec is >=90% of the wall (shared rule: bench/_measure.py)
+        n_timed = n2
         print(f"fast program ({dt:.2f}s): re-measuring {n_timed} steps",
               file=sys.stderr, flush=True)
         c2 = jax.jit(make_steps(n_timed)).lower(params, target).compile()

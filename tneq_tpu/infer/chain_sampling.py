@@ -234,19 +234,9 @@ def _sweep_program(S: int, G: int, K: int, density_power: int,
 
     @jax.jit
     def sweep(key, A0, mids, last, mg, gx):
-        # right environments, identity measures (sample-independent):
-        # rs[i] = env to the RIGHT of core i — the last core contracted
-        # with identities gives env-right-of(ncores-2); absorbing mid
-        # core j maps env-right-of(j) -> env-right-of(j-1)
-        r = _norm_rows(jnp.einsum("aop,bop->ab", last, jnp.conj(last)), 0)
-
-        def renv_body(carry, A):
-            rr = _norm_rows(
-                jnp.einsum("aob,cod,bd->ac", A, jnp.conj(A), carry), 0
-            )
-            return rr, rr
-
-        _, rs = jax.lax.scan(renv_body, r, mids, reverse=True)
+        # right environments (shared helper, inlined under this jit):
+        # rs[i] = env to the RIGHT of core i
+        rs, r = _right_envs(mids, last)
         rs_mid = jnp.concatenate([rs[1:], r[None]], axis=0)
 
         # the host loop's split sequence, unrolled (static n_mids)

@@ -322,8 +322,12 @@ def fused_chain_supported(a, use_pallas: Optional[bool] = None) -> bool:
     if jnp.dtype(mids.dtype) != jnp.dtype(jnp.float32):
         return False
     # the M-form needs square per-site transfer matrices: uniform bonds
-    # only (non-uniform triples crash the sweep's fixed-S kernel)
+    # only (non-uniform triples crash the sweep's fixed-S kernel) — and
+    # the boundary cores must share that bond too (first [x,i,y,c] right
+    # bond, last [c,x,y,z] left bond), else v0/w lengths mismatch M
     if mids.shape[1] != mids.shape[-1]:
+        return False
+    if first.shape[-1] != mids.shape[1] or last.shape[0] != mids.shape[1]:
         return False
     S = mids.shape[1] * mids.shape[1]
     if S % 128 != 0:
