@@ -37,5 +37,17 @@ if _os.environ.get("TNEQ_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["TNEQ_PLATFORM"])
 
+if _os.environ.get("TNEQ_COMPILE_CACHE"):
+    # Opt-in persistent XLA compilation cache.  The channel protocol runs
+    # every TPU attempt in a FRESH subprocess (CLAUDE.md), so without this
+    # each attempt repays the same 20-40 s of compiles; with it, retries
+    # and repeated probes reuse the serialized executables.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir", _os.environ["TNEQ_COMPILE_CACHE"]
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from .graph import CircuitGraph, Edge, CoreSpec, parse_graph
 from .model import QCTN
