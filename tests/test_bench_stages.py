@@ -78,6 +78,15 @@ def test_window_bench_cli_cpu(tmp_path):
     assert d["device"] == "cpu"
 
 
+def test_remeasure_rule():
+    from tneq_tpu.bench._measure import remeasure_steps
+
+    assert remeasure_steps(200, 5.0) is None          # slow enough already
+    assert remeasure_steps(200, 0.1) == 16000          # 200*8/0.1
+    assert remeasure_steps(200, 0.001) == 20000        # capped
+    assert remeasure_steps(10, 1.9) == 1000            # floored
+
+
 def _run_probe_cpu(module, argv, timeout=420):
     import os
     import subprocess
