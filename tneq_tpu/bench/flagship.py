@@ -86,27 +86,50 @@ def run_8q(args) -> dict:
     exp = make_experiment(cfg)
     target_mask = [2, 3, 5, 8, 9, 12, 13, 14, 15, 17, 18, 20, 21, 23,
                    25, 26, 29, 31, 32, 33]
+
+    def validated_target(key):
+        """Generate + validate a planted target (<=6 tries, like the
+        reference's regenerate-until-validated loop, train.py:53-58)."""
+        t0 = time.time()
+        tries = 0
+        while True:
+            tries += 1
+            key, k1, k2 = jax.random.split(key, 3)
+            target = target_tensor_init(exp, target_mask, k1)
+            ok, fid, steps, fitted = validate_target_tensor(
+                exp, target, k2, return_params=True
+            )
+            log(f"validate try {tries}: fidelity={fid:.6f} steps={steps} "
+                f"ok={ok}")
+            if ok or tries >= 6:
+                return target, ok, fid, steps, fitted, time.time() - t0
+
     key = jax.random.PRNGKey(0)
-    t0 = time.time()
-    tries = 0
-    while True:
-        tries += 1
-        key, k1, k2 = jax.random.split(key, 3)
-        target = target_tensor_init(exp, target_mask, k1)
-        ok, fid, steps, fitted = validate_target_tensor(
-            exp, target, k2, return_params=True
-        )
-        log(f"validate try {tries}: fidelity={fid:.6f} steps={steps} ok={ok}")
-        if ok or tries >= 6:
-            break
-    validate_s = time.time() - t0
+    target, ok, fid, steps, fitted, validate_s = validated_target(key)
     t0 = time.time()
     # reference protocol: multiple symmetry-breaking restarts keeping the
-    # best pruned set (train.py:40-76 runs 20; --restarts bounds it here)
+    # best pruned set (train.py:40-76 runs 20; --restarts bounds it here).
+    # --regen-target additionally gives EACH restart its own freshly
+    # generated + validated planted target (the reference generates and
+    # validates a new target per restart, train.py:40-64); the default
+    # reuses one validated target so restarts are directly comparable
+    # (the FLAGSHIP solution-family analysis needs a fixed target).
     best_pruned: list = []
     attempts = 0
     restart_pruned = []
+    validate_fids = [float(fid)]
     for restart in range(max(1, args.restarts)):
+        if args.regen_target and restart > 0:
+            tkey = jax.random.fold_in(
+                jax.random.PRNGKey(1), 1000 * args.seed + restart
+            )
+            target, ok_r, fid_r, steps_r, fitted, v_s = validated_target(tkey)
+            validate_s += v_s
+            validate_fids.append(float(fid_r))
+            if not ok_r:
+                log(f"restart {restart}: target failed validation "
+                    f"(fid={fid_r:.6f}); skipping restart")
+                continue
         # restart randomness is seed-keyed (NOT target-keyed) so separate
         # invocations with different --seed give independent restarts of
         # the SAME planted target/validated warm start
@@ -136,6 +159,8 @@ def run_8q(args) -> dict:
         "restarts": max(1, args.restarts),
         "seed": args.seed,
         "batched": bool(args.batched),
+        "regen_target": bool(args.regen_target),
+        "validate_fidelities": validate_fids,
         "pruned": len(best_pruned),
         "pruned_list": best_pruned,
         "planted_mask": planted,
@@ -284,6 +309,11 @@ def main(argv=None) -> int:
                         "its validation stay seed-0-keyed, so runs with "
                         "different seeds are independent restarts of the "
                         "same experiment)")
+    p.add_argument("--regen-target", action="store_true",
+                   help="8q/pair: give each restart its own freshly "
+                        "generated + validated planted target (full "
+                        "reference train.py protocol); default reuses one "
+                        "target so restarts are directly comparable")
     p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
                default="chunk",
                help="network fits: 'fit' compiles the whole while_loop "
@@ -313,7 +343,8 @@ def main(argv=None) -> int:
            "--sync-every", str(args.sync_every),
            "--budget", str(args.budget),
            "--jit-scope", args.jit_scope] + (
-               ["--batched"] if args.batched else [])
+               ["--batched"] if args.batched else []) + (
+               ["--regen-target"] if args.regen_target else [])
     if args.cpu:
         cmd.append("--cpu")
     env = dict(os.environ)
