@@ -1,0 +1,251 @@
+"""Full-budget flagship protocol driver: N independent symmetry-breaking
+restarts, one fresh child process per restart, RESUMABLE across channel
+outages.
+
+The reference protocol (``/root/reference/train.py:62-76``) runs 20
+symmetry-breaking restarts against one validated planted target and keeps
+the best pruned set.  A single-process 20-restart run is infeasible under
+the axon channel protocol (CLAUDE.md): one child must stay under its alarm
+budget, and an outage mid-run would lose every completed restart.  This
+driver therefore runs ONE ``flagship --attempt`` child per restart seed
+(fresh subprocess, TERM-only bound, never SIGKILL), appends each child's
+RESULT record to the state JSON **as it lands**, and on startup skips
+seeds already recorded — so an interrupted protocol run resumes where it
+stopped and a channel outage costs at most the in-flight restart.
+
+The merged output is the FLAGSHIP artifact format (``runs`` +
+solution-family ``analysis``: intersection / union / planted overlap of
+the per-restart pruned sets).
+
+Usage::
+
+    python -m tneq_tpu.bench.flagship_protocol --mode pair --restarts 20 \
+        --out FLAGSHIP_protocol.json [--batched] [--cpu]
+
+Prints ONE JSON line (the analysis summary) when it stops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from ._subproc import run_term_bounded
+
+CHILD_BUDGET_S = 5400  # per-restart child (FLAGSHIP_r03 walls: 2267-4478 s)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def protocol_analysis(runs: list, planted=None) -> dict:
+    """Solution-family analysis over per-restart RESULT records.
+
+    Mirrors the FLAGSHIP_r03 analysis block: sizes, per-run planted
+    overlap, intersection (the restart-stable core), union, and the
+    always-pruned-and-planted set.  ``planted`` defaults to the mask
+    recorded in the runs themselves.
+    """
+    ok_runs = [r for r in runs if r.get("pruned_list") is not None]
+    if not ok_runs:
+        return {"n_restarts": 0}
+    if planted is None:
+        planted = ok_runs[0].get("planted_mask") or []
+    sets = [set(r["pruned_list"]) for r in ok_runs]
+    inter = set.intersection(*sets) if sets else set()
+    union = set.union(*sets) if sets else set()
+    best = max(ok_runs, key=lambda r: len(r["pruned_list"]))
+    return {
+        "n_restarts": len(ok_runs),
+        "pruned_sizes": [len(s) for s in sets],
+        "best_pruned_size": len(best["pruned_list"]),
+        "best_pruned_list": sorted(best["pruned_list"]),
+        "best_seed": best.get("seed"),
+        "planted_size": len(planted),
+        "planted_recovered_per_run": [
+            len(s & set(planted)) for s in sets
+        ],
+        "intersection_size": len(inter),
+        "intersection": sorted(inter),
+        "union_size": len(union),
+        "always_pruned_and_planted": sorted(inter & set(planted)),
+    }
+
+
+def _child_cmd(args, seed: int) -> list:
+    cmd = [
+        sys.executable, "-m", "tneq_tpu.bench.flagship", "--attempt",
+        "--mode", args.mode,
+        "--restarts", "1",
+        "--seed", str(seed),
+        "--validate-steps", str(args.validate_steps),
+        "--prune-steps", str(args.prune_steps),
+        "--lane-chunk", str(args.lane_chunk),
+        "--max-outer", str(args.max_outer),
+        "--sync-every", str(args.sync_every),
+        "--budget", str(args.budget),
+        "--jit-scope", args.jit_scope,
+    ]
+    if args.batched:
+        cmd.append("--batched")
+    if args.cpu:
+        cmd.append("--cpu")
+    return cmd
+
+
+def _load_state(path: str, args) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            state = json.load(f)
+        if state.get("mode") != args.mode or state.get(
+            "batched"
+        ) != bool(args.batched):
+            raise SystemExit(
+                f"state file {path} records mode={state.get('mode')} "
+                f"batched={state.get('batched')}; refusing to mix with "
+                f"--mode {args.mode} batched={bool(args.batched)} "
+                f"(use a different --out)"
+            )
+        log(f"resuming from {path}: {len(state.get('runs', []))} "
+            f"restart(s) already recorded")
+        return state
+    return {
+        "experiment": (
+            f"symmetry_breaking {args.mode} flagship protocol "
+            f"(8q x 5c, per-restart child processes)"
+        ),
+        "protocol": (
+            "reference train.py protocol at full restart budget: one "
+            "validated planted target (seed-0 keyed, identical across "
+            "children), independent restarts via --seed, one fresh child "
+            "process per restart (resumable; channel outage costs at most "
+            "the in-flight restart). Reference runs 20 restarts "
+            "(train.py:62-76)."
+        ),
+        "mode": args.mode,
+        "batched": bool(args.batched),
+        "date": time.strftime("%Y-%m-%d"),
+        "runs": [],
+        "failures": [],
+    }
+
+
+def _save_state(path: str, state: dict) -> None:
+    state["analysis"] = protocol_analysis(state["runs"])
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, path)
+
+
+def run_protocol(args, runner=None) -> dict:
+    """Drive up to ``args.restarts`` per-seed children, persisting state
+    after every completed restart.  ``runner`` is injectable for tests."""
+    if runner is None:
+        runner = run_term_bounded
+    state = _load_state(args.out, args)
+    done = {r["seed"] for r in state["runs"]}
+    deadline = (
+        time.time() + args.wall_budget if args.wall_budget else None
+    )
+    for seed in range(args.start_seed, args.start_seed + args.restarts):
+        if seed in done:
+            continue
+        if deadline and time.time() > deadline:
+            log(f"wall budget exhausted before seed {seed}; stopping "
+                f"(resume with the same --out)")
+            break
+        landed = False
+        for attempt in range(1 + args.retries):
+            if deadline and time.time() > deadline:
+                break
+            log(f"--- restart seed={seed} attempt {attempt + 1}/"
+                f"{1 + args.retries} ---")
+            env = dict(os.environ)
+            if args.cpu:
+                env["TNEQ_PLATFORM"] = "cpu"
+            r = runner(_child_cmd(args, seed), timeout=args.budget + 120,
+                       env=env)
+            if getattr(r, "abandoned", False):
+                # the child survived both TERMs and is still alive on the
+                # tunnel — spawning another would put two clients on the
+                # channel (CLAUDE.md: serialize TPU access)
+                log("child wedged and abandoned (still alive); stopping "
+                    "the protocol run")
+                state["failures"].append(
+                    {"seed": seed, "outcome": "abandoned"}
+                )
+                state["stopped_on_abandoned_child"] = True
+                _save_state(args.out, state)
+                return state
+            rec = None
+            for line in r.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[len("RESULT "):])
+            if rec is not None:
+                rec["seed"] = seed
+                state["runs"].append(rec)
+                _save_state(args.out, state)
+                log(f"restart seed={seed}: pruned {rec.get('pruned')} "
+                    f"cores in {rec.get('wall_s')}s "
+                    f"({len(state['runs'])} restart(s) recorded)")
+                landed = True
+                break
+            log(f"restart seed={seed} attempt failed (rc={r.returncode}); "
+                f"waiting {args.retry_wait}s")
+            state["failures"].append(
+                {"seed": seed, "outcome": f"rc={r.returncode}"}
+            )
+            _save_state(args.out, state)
+            time.sleep(args.retry_wait)
+        if not landed:
+            log(f"restart seed={seed}: no attempt landed; moving on")
+    _save_state(args.out, state)
+    return state
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--mode", choices=["8q", "pair"], default="pair")
+    p.add_argument("--restarts", type=int, default=20,
+                   help="total restart seeds (reference budget: 20)")
+    p.add_argument("--start-seed", type=int, default=0)
+    p.add_argument("--out", default="FLAGSHIP_protocol.json",
+                   help="state/artifact JSON (resume source)")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--batched", action="store_true",
+                   help="greedy-best vmapped candidate scoring instead of "
+                        "the reference's first-success order")
+    p.add_argument("--validate-steps", type=int, default=3000)
+    p.add_argument("--prune-steps", type=int, default=2000)
+    p.add_argument("--lane-chunk", type=int, default=8)
+    p.add_argument("--max-outer", type=int, default=3)
+    p.add_argument("--sync-every", type=int, default=8)
+    p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
+                   default="chunk")
+    p.add_argument("--budget", type=int, default=CHILD_BUDGET_S,
+                   help="per-child wall budget (seconds)")
+    p.add_argument("--retries", type=int, default=2,
+                   help="extra attempts per seed after a failed child")
+    p.add_argument("--retry-wait", type=int, default=600,
+                   help="seconds between attempts (channel recovery time)")
+    p.add_argument("--wall-budget", type=int, default=0,
+                   help="overall wall budget in seconds (0 = unlimited); "
+                        "stops cleanly between restarts when exceeded")
+    args = p.parse_args(argv)
+
+    state = run_protocol(args)
+    summary = dict(state.get("analysis", {}))
+    summary["metric"] = f"flagship_protocol_{args.mode}_restarts"
+    summary["value"] = summary.get("n_restarts", 0)
+    summary["unit"] = "restarts"
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
