@@ -20,7 +20,8 @@ def _args(tmp_path, **over):
         out=str(tmp_path / "state.json"), cpu=True, batched=False,
         validate_steps=10, prune_steps=10, lane_chunk=8, max_outer=1,
         sync_every=8, jit_scope="chunk", budget=60, retries=1,
-        retry_wait=0, wall_budget=0,
+        retry_wait=0, wall_budget=0, regen_target=False,
+        after_abandon=False,
     )
     defaults.update(over)
     return SimpleNamespace(**defaults)
@@ -135,6 +136,77 @@ class TestRunProtocol:
         state = run_protocol(args, runner=runner)
         assert state["runs"] == []
 
+    def test_settings_mismatch_refuses(self, tmp_path):
+        args = _args(tmp_path, restarts=1)
+        run_protocol(args, runner=lambda c, timeout, env: _result(0, [1]))
+        with pytest.raises(SystemExit, match="settings"):
+            run_protocol(_args(tmp_path, restarts=2, prune_steps=99),
+                         runner=lambda c, timeout, env: _result(1, [1]))
+
+    def test_legacy_state_without_settings_adopts(self, tmp_path):
+        args = _args(tmp_path, restarts=1)
+        run_protocol(args, runner=lambda c, timeout, env: _result(0, [1]))
+        # simulate a state file from before settings were recorded
+        p = tmp_path / "state.json"
+        legacy = json.loads(p.read_text())
+        legacy.pop("settings")
+        p.write_text(json.dumps(legacy))
+        state = run_protocol(_args(tmp_path, restarts=2),
+                             runner=lambda c, timeout, env: _result(1, [1]))
+        assert "settings" in state and len(state["runs"]) == 2
+
+    def test_malformed_result_line_is_a_failed_attempt(self, tmp_path):
+        args = _args(tmp_path, restarts=1, retries=1)
+        calls = []
+
+        def runner(cmd, timeout, env):
+            calls.append(1)
+            if len(calls) == 1:  # TERMed child truncated its RESULT line
+                return SimpleNamespace(returncode=-15,
+                                       stdout='RESULT {"pruned": 1',
+                                       stderr="", abandoned=False)
+            return _result(0, [1])
+
+        state = run_protocol(args, runner=runner)
+        assert len(calls) == 2
+        assert len(state["runs"]) == 1
+        assert "malformed RESULT" in state["failures"][0]["outcome"]
+
+    def test_abandoned_resume_requires_override(self, tmp_path):
+        args = _args(tmp_path, restarts=2, retries=0)
+        calls = []
+
+        def wedged_then_ok(cmd, timeout, env):
+            calls.append(1)
+            if len(calls) == 1:
+                return SimpleNamespace(returncode=-15, stdout="", stderr="",
+                                       abandoned=True)
+            return _result(int(cmd[cmd.index("--seed") + 1]), [2])
+
+        state = run_protocol(args, runner=wedged_then_ok)
+        assert state["stopped_on_abandoned_child"] is True
+        # plain resume refuses (a second client could hit the tunnel)
+        with pytest.raises(SystemExit, match="abandon"):
+            run_protocol(_args(tmp_path, restarts=2),
+                         runner=wedged_then_ok)
+        # explicit override resumes and clears the flag
+        state = run_protocol(_args(tmp_path, restarts=2,
+                                   after_abandon=True),
+                             runner=wedged_then_ok)
+        assert "stopped_on_abandoned_child" not in state
+        assert len(state["runs"]) == 2 and state["complete"] is True
+
+    def test_no_sleep_after_final_attempt(self, tmp_path, monkeypatch):
+        import tneq_tpu.bench.flagship_protocol as fp
+
+        sleeps = []
+        monkeypatch.setattr(fp.time, "sleep", lambda s: sleeps.append(s))
+        args = _args(tmp_path, restarts=1, retries=2, retry_wait=60)
+        run_protocol(args, runner=lambda c, timeout, env: SimpleNamespace(
+            returncode=1, stdout="", stderr="", abandoned=False))
+        # 3 attempts, all fail: sleep only BETWEEN attempts (2 sleeps)
+        assert sleeps == [60, 60]
+
     def test_cpu_env_propagates(self, tmp_path):
         args = _args(tmp_path, restarts=1, cpu=True)
         seen = {}
@@ -164,3 +236,20 @@ def test_cli_smoke(tmp_path, capsys, monkeypatch):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     d = json.loads(line)
     assert d["value"] == 2 and d["unit"] == "restarts"
+    assert d["complete"] is True and d["n_failures"] == 0
+
+
+def test_cli_rc3_on_abandoned(tmp_path, capsys, monkeypatch):
+    import tneq_tpu.bench.flagship_protocol as fp
+
+    monkeypatch.setattr(
+        fp, "run_term_bounded",
+        lambda cmd, timeout, env: SimpleNamespace(
+            returncode=-15, stdout="", stderr="", abandoned=True),
+    )
+    rc = main(["--mode", "pair", "--restarts", "2", "--cpu",
+               "--out", str(tmp_path / "p.json"), "--retry-wait", "0"])
+    assert rc == 3
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["stopped_on_abandoned_child"] is True
+    assert d["complete"] is False

@@ -89,7 +89,10 @@ def run_8q(args) -> dict:
 
     def validated_target(key):
         """Generate + validate a planted target (<=6 tries, like the
-        reference's regenerate-until-validated loop, train.py:53-58)."""
+        reference's regenerate-until-validated loop, train.py:53-58).
+        Returns the evolved key so the caller's downstream randomness
+        follows the same stream as the pre-refactor inline loop (the
+        FLAGSHIP_r03 restarts were recorded under that convention)."""
         t0 = time.time()
         tries = 0
         while True:
@@ -102,34 +105,49 @@ def run_8q(args) -> dict:
             log(f"validate try {tries}: fidelity={fid:.6f} steps={steps} "
                 f"ok={ok}")
             if ok or tries >= 6:
-                return target, ok, fid, steps, fitted, time.time() - t0
+                return target, ok, fid, steps, fitted, time.time() - t0, key
 
-    key = jax.random.PRNGKey(0)
-    target, ok, fid, steps, fitted, validate_s = validated_target(key)
-    t0 = time.time()
     # reference protocol: multiple symmetry-breaking restarts keeping the
     # best pruned set (train.py:40-76 runs 20; --restarts bounds it here).
-    # --regen-target additionally gives EACH restart its own freshly
-    # generated + validated planted target (the reference generates and
-    # validates a new target per restart, train.py:40-64); the default
-    # reuses one validated target so restarts are directly comparable
-    # (the FLAGSHIP solution-family analysis needs a fixed target).
+    # --regen-target gives EACH restart (including restart 0) its own
+    # freshly generated + validated planted target (the reference generates
+    # and validates a new target per restart, train.py:40-64); the default
+    # generates ONE seed-0-keyed validated target so restarts — and
+    # separate --seed invocations — are directly comparable (the FLAGSHIP
+    # solution-family analysis needs a fixed target).
+    key = jax.random.PRNGKey(0)
+    validate_s = 0.0
+    validate_fids: list = []
+    ok = False
+    fid = None  # first validated target's fidelity (None if none validated)
+    steps = 0
+    if not args.regen_target:
+        target, ok, fid, steps, fitted, validate_s, key = validated_target(
+            key
+        )
+        validate_fids.append(float(fid))
+    t0 = time.time()
     best_pruned: list = []
     attempts = 0
     restart_pruned = []
-    validate_fids = [float(fid)]
+    regen_validate_ok: list = []
     for restart in range(max(1, args.restarts)):
-        if args.regen_target and restart > 0:
+        if args.regen_target:
             tkey = jax.random.fold_in(
                 jax.random.PRNGKey(1), 1000 * args.seed + restart
             )
-            target, ok_r, fid_r, steps_r, fitted, v_s = validated_target(tkey)
+            target, ok_r, fid_r, steps_r, fitted, v_s, _ = validated_target(
+                tkey
+            )
             validate_s += v_s
             validate_fids.append(float(fid_r))
+            regen_validate_ok.append(bool(ok_r))
             if not ok_r:
                 log(f"restart {restart}: target failed validation "
                     f"(fid={fid_r:.6f}); skipping restart")
                 continue
+            if not ok:  # record fields describe the first validated target
+                ok, fid, steps = ok_r, fid_r, steps_r
         # restart randomness is seed-keyed (NOT target-keyed) so separate
         # invocations with different --seed give independent restarts of
         # the SAME planted target/validated warm start
@@ -153,13 +171,15 @@ def run_8q(args) -> dict:
     return {
         "config": f"{args.mode}-8q5c-{'pair' if pair else 'f32'}",
         "validated": bool(ok),
-        "validate_fidelity": float(fid),
+        "validate_fidelity": None if fid is None else float(fid),
         "validate_steps": int(steps),
         "validate_s": round(validate_s, 1),
         "restarts": max(1, args.restarts),
+        "restarts_run": len(restart_pruned),
         "seed": args.seed,
         "batched": bool(args.batched),
         "regen_target": bool(args.regen_target),
+        "regen_validate_ok": regen_validate_ok,
         "validate_fidelities": validate_fids,
         "pruned": len(best_pruned),
         "pruned_list": best_pruned,
@@ -263,6 +283,35 @@ def run_32q(args) -> dict:
     }
 
 
+def child_cmd(args, *, seed=None, restarts=None) -> list:
+    """Build the ``flagship --attempt`` child command line from parsed
+    flags.  Single source of truth shared by :func:`main`'s self-spawn and
+    ``flagship_protocol``'s per-seed children (which override ``seed`` and
+    pin ``restarts=1``) so new result-affecting flags cannot silently
+    drift between the two.
+    """
+    cmd = [
+        sys.executable, "-m", "tneq_tpu.bench.flagship", "--attempt",
+        "--mode", args.mode,
+        "--validate-steps", str(args.validate_steps),
+        "--prune-steps", str(args.prune_steps),
+        "--lane-chunk", str(args.lane_chunk),
+        "--max-outer", str(args.max_outer),
+        "--restarts", str(args.restarts if restarts is None else restarts),
+        "--seed", str(args.seed if seed is None else seed),
+        "--sync-every", str(args.sync_every),
+        "--budget", str(args.budget),
+        "--jit-scope", args.jit_scope,
+    ]
+    if args.batched:
+        cmd.append("--batched")
+    if getattr(args, "regen_target", False):
+        cmd.append("--regen-target")
+    if args.cpu:
+        cmd.append("--cpu")
+    return cmd
+
+
 def attempt(args) -> int:
     try:
         _alarm(args.budget)
@@ -332,21 +381,7 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", "cpu")
         return attempt(args)
 
-    cmd = [sys.executable, "-m", "tneq_tpu.bench.flagship", "--attempt",
-           "--mode", args.mode,
-           "--validate-steps", str(args.validate_steps),
-           "--prune-steps", str(args.prune_steps),
-           "--lane-chunk", str(args.lane_chunk),
-           "--max-outer", str(args.max_outer),
-           "--restarts", str(args.restarts),
-           "--seed", str(args.seed),
-           "--sync-every", str(args.sync_every),
-           "--budget", str(args.budget),
-           "--jit-scope", args.jit_scope] + (
-               ["--batched"] if args.batched else []) + (
-               ["--regen-target"] if args.regen_target else [])
-    if args.cpu:
-        cmd.append("--cpu")
+    cmd = child_cmd(args)
     env = dict(os.environ)
     if args.cpu:
         env["TNEQ_PLATFORM"] = "cpu"

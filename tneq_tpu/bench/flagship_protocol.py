@@ -77,24 +77,19 @@ def protocol_analysis(runs: list, planted=None) -> dict:
 
 
 def _child_cmd(args, seed: int) -> list:
-    cmd = [
-        sys.executable, "-m", "tneq_tpu.bench.flagship", "--attempt",
-        "--mode", args.mode,
-        "--restarts", "1",
-        "--seed", str(seed),
-        "--validate-steps", str(args.validate_steps),
-        "--prune-steps", str(args.prune_steps),
-        "--lane-chunk", str(args.lane_chunk),
-        "--max-outer", str(args.max_outer),
-        "--sync-every", str(args.sync_every),
-        "--budget", str(args.budget),
-        "--jit-scope", args.jit_scope,
-    ]
-    if args.batched:
-        cmd.append("--batched")
-    if args.cpu:
-        cmd.append("--cpu")
-    return cmd
+    from .flagship import child_cmd
+
+    return child_cmd(args, seed=seed, restarts=1)
+
+
+# result-affecting knobs: a resume mixing different values of any of these
+# would merge incomparable restarts into one solution-family analysis
+RESULT_SETTINGS = ("validate_steps", "prune_steps", "lane_chunk",
+                   "max_outer", "sync_every", "jit_scope", "regen_target")
+
+
+def _settings(args) -> dict:
+    return {k: getattr(args, k) for k in RESULT_SETTINGS}
 
 
 def _load_state(path: str, args) -> dict:
@@ -110,6 +105,31 @@ def _load_state(path: str, args) -> dict:
                 f"--mode {args.mode} batched={bool(args.batched)} "
                 f"(use a different --out)"
             )
+        if "settings" in state:
+            if state["settings"] != _settings(args):
+                raise SystemExit(
+                    f"state file {path} records settings "
+                    f"{state['settings']}; refusing to mix with "
+                    f"{_settings(args)} — restarts under different "
+                    f"protocols are not comparable (use a different --out)"
+                )
+        else:  # legacy state file from before settings were recorded
+            log(f"warning: {path} predates settings recording; adopting "
+                f"the current flags {_settings(args)} as its settings")
+            state["settings"] = _settings(args)
+        if state.get("stopped_on_abandoned_child"):
+            if not args.after_abandon:
+                raise SystemExit(
+                    f"state file {path} records a previous run stopped on "
+                    f"an ABANDONED (still-alive, TERM-proof) child — a "
+                    f"second client on the tunnel violates the "
+                    f"serialize-TPU-access rule. Verify that child is gone "
+                    f"(or the terminal restarted), then re-run with "
+                    f"--after-abandon."
+                )
+            log("resuming past a previous abandoned child "
+                "(--after-abandon); clearing the stop flag")
+            state.pop("stopped_on_abandoned_child", None)
         log(f"resuming from {path}: {len(state.get('runs', []))} "
             f"restart(s) already recorded")
         return state
@@ -128,6 +148,7 @@ def _load_state(path: str, args) -> dict:
         ),
         "mode": args.mode,
         "batched": bool(args.batched),
+        "settings": _settings(args),
         "date": time.strftime("%Y-%m-%d"),
         "runs": [],
         "failures": [],
@@ -148,6 +169,8 @@ def run_protocol(args, runner=None) -> dict:
     if runner is None:
         runner = run_term_bounded
     state = _load_state(args.out, args)
+    state.pop("wall_budget_exhausted", None)
+    state.pop("complete", None)
     done = {r["seed"] for r in state["runs"]}
     deadline = (
         time.time() + args.wall_budget if args.wall_budget else None
@@ -158,10 +181,12 @@ def run_protocol(args, runner=None) -> dict:
         if deadline and time.time() > deadline:
             log(f"wall budget exhausted before seed {seed}; stopping "
                 f"(resume with the same --out)")
+            state["wall_budget_exhausted"] = True
             break
         landed = False
         for attempt in range(1 + args.retries):
             if deadline and time.time() > deadline:
+                state["wall_budget_exhausted"] = True
                 break
             log(f"--- restart seed={seed} attempt {attempt + 1}/"
                 f"{1 + args.retries} ---")
@@ -183,9 +208,17 @@ def run_protocol(args, runner=None) -> dict:
                 _save_state(args.out, state)
                 return state
             rec = None
+            outcome = f"rc={r.returncode}"
             for line in r.stdout.splitlines():
                 if line.startswith("RESULT "):
-                    rec = json.loads(line[len("RESULT "):])
+                    try:
+                        rec = json.loads(line[len("RESULT "):])
+                    except json.JSONDecodeError:
+                        # a TERMed child can leave a truncated RESULT
+                        # line; record it as a failed attempt instead of
+                        # crashing the unattended multi-hour run
+                        rec = None
+                        outcome = f"rc={r.returncode} (malformed RESULT)"
             if rec is not None:
                 rec["seed"] = seed
                 state["runs"].append(rec)
@@ -195,15 +228,17 @@ def run_protocol(args, runner=None) -> dict:
                     f"({len(state['runs'])} restart(s) recorded)")
                 landed = True
                 break
-            log(f"restart seed={seed} attempt failed (rc={r.returncode}); "
-                f"waiting {args.retry_wait}s")
-            state["failures"].append(
-                {"seed": seed, "outcome": f"rc={r.returncode}"}
-            )
+            log(f"restart seed={seed} attempt failed ({outcome})")
+            state["failures"].append({"seed": seed, "outcome": outcome})
             _save_state(args.out, state)
-            time.sleep(args.retry_wait)
+            if attempt < args.retries and not (
+                deadline and time.time() > deadline
+            ):
+                log(f"waiting {args.retry_wait}s before the next attempt")
+                time.sleep(args.retry_wait)
         if not landed:
             log(f"restart seed={seed}: no attempt landed; moving on")
+    state["complete"] = len(state["runs"]) >= args.restarts
     _save_state(args.out, state)
     return state
 
@@ -220,6 +255,14 @@ def main(argv=None) -> int:
     p.add_argument("--batched", action="store_true",
                    help="greedy-best vmapped candidate scoring instead of "
                         "the reference's first-success order")
+    p.add_argument("--regen-target", action="store_true",
+                   help="each restart child generates + validates its own "
+                        "planted target (full reference train.py protocol) "
+                        "instead of the shared seed-0 target")
+    p.add_argument("--after-abandon", action="store_true",
+                   help="resume a state file whose previous run stopped on "
+                        "an abandoned (still-alive) child — only after "
+                        "verifying that child is gone")
     p.add_argument("--validate-steps", type=int, default=3000)
     p.add_argument("--prune-steps", type=int, default=2000)
     p.add_argument("--lane-chunk", type=int, default=8)
@@ -243,8 +286,16 @@ def main(argv=None) -> int:
     summary["metric"] = f"flagship_protocol_{args.mode}_restarts"
     summary["value"] = summary.get("n_restarts", 0)
     summary["unit"] = "restarts"
+    # make a halted run distinguishable from a completed one (callers and
+    # watcher loops key off these + the return code)
+    summary["complete"] = bool(state.get("complete"))
+    summary["n_failures"] = len(state.get("failures", []))
+    if state.get("stopped_on_abandoned_child"):
+        summary["stopped_on_abandoned_child"] = True
+    if state.get("wall_budget_exhausted"):
+        summary["wall_budget_exhausted"] = True
     print(json.dumps(summary))
-    return 0
+    return 3 if state.get("stopped_on_abandoned_child") else 0
 
 
 if __name__ == "__main__":
