@@ -39,6 +39,27 @@ def test_structure_search_cli(tmp_path):
     assert json.loads((tmp_path / "s.json").read_text())["graph"]
 
 
+def test_structure_search_template_graph():
+    """--template-graph starts the population at a different topology
+    than the goal (structure recovery: bond-1 candidates vs a bond-2
+    goal; mutations with --tn-rank 2 can grow bonds toward the goal)."""
+    from tneq_tpu.apps.structure_search import main
+    from tneq_tpu.graph.generators import mps_graph
+
+    goal = mps_graph(4, 2, phys=2)
+    tmpl = mps_graph(4, 1, phys=2)
+    r = main([
+        "--tn-size", "4", "--tn-rank", "2", "--goal-graph=" + goal,
+        "--template-graph=" + tmpl, "--population", "3",
+        "--generations", "2", "--evaluate-repeat", "1", "--elitism", "1",
+        "--train-steps", "40", "--loss", "log_fidelity", "--seed", "3",
+    ])
+    assert r["fitness"] is not None
+    # elitism keeps the per-generation best monotone (non-increasing)
+    hist = [h["best_fitness"] for h in r["history"]]
+    assert hist[-1] <= hist[0] + 1e-9
+
+
 def test_distributed_trainer_cli(tmp_path):
     from tneq_tpu.parallel.trainer import main
 

@@ -29,6 +29,12 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--tn-rank", type=int, default=2)
     p.add_argument("--goal-graph", type=str, default=None,
                    help="DSL for the goal circuit (default: full connection)")
+    p.add_argument("--template-graph", type=str, default=None,
+                   help="DSL the population starts from (default: the goal "
+                        "topology). Starting BELOW the goal's bond "
+                        "dimensions with --tn-rank >= the goal's turns the "
+                        "search into structure RECOVERY: mutations must "
+                        "grow bonds to close the fidelity gap")
     p.add_argument("--population", type=int, default=8)
     p.add_argument("--generations", type=int, default=3)
     p.add_argument("--evaluate-repeat", type=int, default=2)
@@ -68,6 +74,7 @@ def main(argv: Optional[Sequence[str]] = None):
     ).graph.to_dsl()
     goal = parse_graph(goal_src)
     goal_params = init_params(goal, jax.random.PRNGKey(args.seed), jnp.float32)
+    template_src = args.template_graph or goal_src
     print(f"goal circuit: {goal.nqubits} qubits, {goal.ncores} cores")
 
     evaluator = CandidateEvaluator(
@@ -83,7 +90,7 @@ def main(argv: Optional[Sequence[str]] = None):
             "evaluate_repeat": args.evaluate_repeat,
             "society_property": {
                 "society": [dict(n_individuals_span=args.population,
-                                 graph_string_template=goal_src)],
+                                 graph_string_template=template_src)],
             },
         },
         evolution_property={"top_k": args.top_k, "n_copy": args.n_copy,
