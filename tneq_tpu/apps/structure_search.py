@@ -62,6 +62,10 @@ def main(argv: Optional[Sequence[str]] = None):
                    help="farm candidates over this many local devices "
                         "(0 = serial; the TPU analogue of the reference's "
                         "one-agent-per-MPI-rank layout)")
+    p.add_argument("--clear-caches-every", type=int, default=8,
+                   help="drop jax compile caches every N generations "
+                        "(novel topologies accumulate mapped executables "
+                        "until LLVM hits the mmap-region limit; 0 = never)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="JSON checkpoint path; saved at each generation "
                         "boundary")
@@ -97,6 +101,7 @@ def main(argv: Optional[Sequence[str]] = None):
                             "crossover_prob": args.crossover_prob,
                             "elitism": args.elitism},
         max_generation=args.generations,
+        clear_caches_every=args.clear_caches_every,
         seed=args.seed,
         devices=(jax.local_devices()[: args.devices] if args.devices else None),
         tn_size=args.tn_size,

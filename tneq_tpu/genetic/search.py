@@ -44,6 +44,7 @@ class EvolutionSearch:
         verbose: bool = True,
         devices: Optional[list] = None,
         checkpoint_path: Optional[str] = None,
+        clear_caches_every: int = 8,
         **individual_kwds,
     ):
         self.evaluator = evaluator
@@ -63,6 +64,14 @@ class EvolutionSearch:
         self.status = AgentStatus()
         self.history: List[dict] = []
         self.checkpoint_path = checkpoint_path
+        # Every novel candidate topology jit-compiles fresh programs that
+        # XLA:CPU keeps mapped forever; a long search exhausts the
+        # process's mmap regions (vm.max_map_count) and LLVM dies with
+        # "Cannot allocate memory" (observed at ~14 generations x 10
+        # 30-qubit evaluations).  Dropping the caches every few
+        # generations only re-pays compiles for repeated topologies
+        # (elites carry their results and are not re-fit).  0 = never.
+        self.clear_caches_every = clear_caches_every
         self._resume_state: Optional[dict] = None
 
     def _log(self, msg: str) -> None:
@@ -276,6 +285,13 @@ class EvolutionSearch:
                 f"{time.time() - t0:.1f}s; best fitness "
                 f"{best.fitness_score if best else float('nan'):.5f}"
             )
+
+            if self.clear_caches_every and (
+                (g + 1) % self.clear_caches_every == 0
+            ):
+                jax.clear_caches()
+                self._log(f"[{generation.name}] cleared jax compile "
+                          f"caches (mmap-region headroom)")
 
             if g + 1 < self.max_generation:
                 generation.evolve()
