@@ -208,7 +208,8 @@ class TestRunProtocol:
         assert sleeps == [60, 60]
 
     def test_cpu_env_propagates(self, tmp_path):
-        args = _args(tmp_path, restarts=1, cpu=True)
+        args = _args(tmp_path, restarts=1, cpu=True,
+                     target_cache="/tmp/tc.pkl")
         seen = {}
 
         def runner(cmd, timeout, env):
@@ -220,6 +221,8 @@ class TestRunProtocol:
         assert seen["env"]["TNEQ_PLATFORM"] == "cpu"
         assert "--cpu" in seen["cmd"]
         assert "--attempt" in seen["cmd"]
+        i = seen["cmd"].index("--target-cache")
+        assert seen["cmd"][i + 1] == "/tmp/tc.pkl"
 
 
 def test_cli_smoke(tmp_path, capsys, monkeypatch):

@@ -87,6 +87,58 @@ def run_8q(args) -> dict:
     target_mask = [2, 3, 5, 8, 9, 12, 13, 14, 15, 17, 18, 20, 21, 23,
                    25, 26, 29, 31, 32, 33]
 
+    def _cache_fingerprint():
+        # everything that determines the validated target + warm start
+        return {
+            "mode": args.mode, "validate_steps": args.validate_steps,
+            "jit_scope": args.jit_scope, "sync_every": args.sync_every,
+            "target_mask": list(target_mask),
+        }
+
+    def _load_target_cache(a):
+        import pickle
+
+        if not os.path.exists(a.target_cache):
+            return None
+        try:
+            with open(a.target_cache, "rb") as f:
+                d = pickle.load(f)
+        except Exception as e:
+            log(f"target cache unreadable ({e}); recomputing")
+            return None
+        if d.get("fingerprint") != _cache_fingerprint():
+            log("target cache fingerprint mismatch; recomputing")
+            return None
+        key = d["key"]
+        try:
+            key = jax.random.wrap_key_data(jnp.asarray(key))
+        except Exception:
+            key = jnp.asarray(key)
+        return (d["target"], d["ok"], d["fid"], d["steps"], d["fitted"],
+                key)
+
+    def _save_target_cache(a, target, ok, fid, steps, fitted, key):
+        import pickle
+
+        import numpy as np
+
+        try:
+            key_np = np.asarray(jax.random.key_data(key))
+        except TypeError:
+            key_np = np.asarray(key)
+        d = {
+            "fingerprint": _cache_fingerprint(),
+            "target": jax.tree.map(np.asarray, target),
+            "ok": bool(ok), "fid": float(fid), "steps": int(steps),
+            "fitted": jax.tree.map(np.asarray, fitted),
+            "key": key_np,
+        }
+        tmp = a.target_cache + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(d, f)
+        os.replace(tmp, a.target_cache)
+        log(f"target cache written: {a.target_cache}")
+
     def validated_target(key):
         """Generate + validate a planted target (<=6 tries, like the
         reference's regenerate-until-validated loop, train.py:53-58).
@@ -122,9 +174,19 @@ def run_8q(args) -> dict:
     fid = None  # first validated target's fidelity (None if none validated)
     steps = 0
     if not args.regen_target:
-        target, ok, fid, steps, fitted, validate_s, key = validated_target(
-            key
-        )
+        cached = _load_target_cache(args) if args.target_cache else None
+        if cached is not None:
+            target, ok, fid, steps, fitted, key = cached
+            log(f"target cache hit ({args.target_cache}): "
+                f"fidelity={fid:.6f} steps={steps}")
+        else:
+            target, ok, fid, steps, fitted, validate_s, key = (
+                validated_target(key)
+            )
+            if args.target_cache and ok:
+                _save_target_cache(
+                    args, target, ok, fid, steps, fitted, key
+                )
         validate_fids.append(float(fid))
     t0 = time.time()
     best_pruned: list = []
@@ -307,6 +369,8 @@ def child_cmd(args, *, seed=None, restarts=None) -> list:
         cmd.append("--batched")
     if getattr(args, "regen_target", False):
         cmd.append("--regen-target")
+    if getattr(args, "target_cache", None):
+        cmd += ["--target-cache", args.target_cache]
     if args.cpu:
         cmd.append("--cpu")
     return cmd
@@ -363,6 +427,13 @@ def main(argv=None) -> int:
                         "generated + validated planted target (full "
                         "reference train.py protocol); default reuses one "
                         "target so restarts are directly comparable")
+    p.add_argument("--target-cache", type=str, default=None,
+                   help="8q/pair, non-regen: pickle file memoizing the "
+                        "seed-0 validated target + warm start + evolved "
+                        "key (pure deterministic replay — every child "
+                        "recomputes the identical target, so later "
+                        "children skip the ~8-min validation); "
+                        "fingerprint-checked, ignored on mismatch")
     p.add_argument("--jit-scope", choices=["fit", "step", "chunk"],
                default="chunk",
                help="network fits: 'fit' compiles the whole while_loop "

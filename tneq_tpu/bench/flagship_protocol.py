@@ -263,6 +263,10 @@ def main(argv=None) -> int:
                    help="resume a state file whose previous run stopped on "
                         "an abandoned (still-alive) child — only after "
                         "verifying that child is gone")
+    p.add_argument("--target-cache", type=str, default=None,
+                   help="shared validated-target memo file for the "
+                        "children (deterministic replay; the first child "
+                        "writes it, later children skip re-validation)")
     p.add_argument("--validate-steps", type=int, default=3000)
     p.add_argument("--prune-steps", type=int, default=2000)
     p.add_argument("--lane-chunk", type=int, default=8)
