@@ -88,11 +88,14 @@ def run_8q(args) -> dict:
                    25, 26, 29, 31, 32, 33]
 
     def _cache_fingerprint():
-        # everything that determines the validated target + warm start
+        # everything that determines the validated target + warm start;
+        # platform included so a TPU child never silently adopts a
+        # CPU-computed warm start (backend numerics differ)
         return {
             "mode": args.mode, "validate_steps": args.validate_steps,
             "jit_scope": args.jit_scope, "sync_every": args.sync_every,
             "target_mask": list(target_mask),
+            "platform": jax.devices()[0].platform,
         }
 
     def _load_target_cache(a):
