@@ -204,8 +204,82 @@ class TestRunProtocol:
         args = _args(tmp_path, restarts=1, retries=2, retry_wait=60)
         run_protocol(args, runner=lambda c, timeout, env: SimpleNamespace(
             returncode=1, stdout="", stderr="", abandoned=False))
-        # 3 attempts, all fail: sleep only BETWEEN attempts (2 sleeps)
+        # 3 attempts, all fail: pause only BEFORE a follow-up spawn
         assert sleeps == [60, 60]
+
+    def test_recovery_pause_crosses_seeds(self, tmp_path, monkeypatch):
+        import tneq_tpu.bench.flagship_protocol as fp
+
+        sleeps = []
+        monkeypatch.setattr(fp.time, "sleep", lambda s: sleeps.append(s))
+        calls = []
+
+        def runner(cmd, timeout, env):
+            calls.append(int(cmd[cmd.index("--seed") + 1]))
+            if len(calls) == 1:  # seed 0's only attempt fails
+                return SimpleNamespace(returncode=1, stdout="", stderr="",
+                                       abandoned=False)
+            return _result(calls[-1], [1])
+
+        run_protocol(_args(tmp_path, restarts=2, retries=0, retry_wait=45),
+                     runner=runner)
+        # seed 1's first child spawns into a possibly-degraded channel:
+        # the pause applies ACROSS seeds after a failure
+        assert calls == [0, 1] and sleeps == [45]
+
+    def test_empty_run_result_is_a_failed_attempt(self, tmp_path):
+        """A --regen-target child whose every validation failed reports
+        restarts_run=0 — recording it would poison the intersection."""
+        args = _args(tmp_path, restarts=1, retries=0, regen_target=True)
+
+        def runner(cmd, timeout, env):
+            rec = {"config": "pair-8q5c-pair", "validated": False,
+                   "restarts_run": 0, "pruned": 0, "pruned_list": [],
+                   "planted_mask": [0], "wall_s": 1.0}
+            return SimpleNamespace(
+                returncode=0, stdout="RESULT " + json.dumps(rec) + "\n",
+                stderr="", abandoned=False)
+
+        state = run_protocol(args, runner=runner)
+        assert state["runs"] == []
+        assert "no restart ran" in state["failures"][0]["outcome"]
+        assert state["complete"] is False
+
+    def test_complete_tracks_requested_seed_range(self, tmp_path):
+        args = _args(tmp_path, restarts=2)
+        run_protocol(args, runner=lambda c, timeout, env: _result(
+            int(c[c.index("--seed") + 1]), [1]))
+        # continuation range where every child fails: NOT complete even
+        # though len(runs) >= restarts
+        state = run_protocol(
+            _args(tmp_path, restarts=2, start_seed=2, retries=0),
+            runner=lambda c, timeout, env: SimpleNamespace(
+                returncode=1, stdout="", stderr="", abandoned=False))
+        assert len(state["runs"]) == 2
+        assert state["complete"] is False
+
+    def test_backend_mismatch_refuses_via_device_inference(self, tmp_path):
+        """A pre-'cpu'-setting state file holds device fields; resuming
+        with the other backend must refuse, not adopt."""
+        args = _args(tmp_path, restarts=1, cpu=True)
+
+        def runner(cmd, timeout, env):
+            r = _result(0, [1])
+            rec = json.loads(r.stdout[len("RESULT "):])
+            rec["device"] = "cpu"
+            return SimpleNamespace(
+                returncode=0, stdout="RESULT " + json.dumps(rec) + "\n",
+                stderr="", abandoned=False)
+
+        run_protocol(args, runner=runner)
+        # simulate a state file written before "cpu" joined the settings
+        p = tmp_path / "state.json"
+        st = json.loads(p.read_text())
+        st["settings"].pop("cpu")
+        p.write_text(json.dumps(st))
+        with pytest.raises(SystemExit, match="device"):
+            run_protocol(_args(tmp_path, restarts=2, cpu=False),
+                         runner=runner)
 
     def test_cpu_env_propagates(self, tmp_path):
         args = _args(tmp_path, restarts=1, cpu=True,

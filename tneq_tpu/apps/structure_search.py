@@ -79,6 +79,14 @@ def main(argv: Optional[Sequence[str]] = None):
     goal = parse_graph(goal_src)
     goal_params = init_params(goal, jax.random.PRNGKey(args.seed), jnp.float32)
     template_src = args.template_graph or goal_src
+    if args.template_graph:
+        tmpl = parse_graph(template_src)
+        if tmpl.nqubits != goal.nqubits:
+            p.error(
+                f"--template-graph has {tmpl.nqubits} qubits but the goal "
+                f"has {goal.nqubits}; candidates must live on the goal's "
+                f"qubits"
+            )
     print(f"goal circuit: {goal.nqubits} qubits, {goal.ncores} cores")
 
     evaluator = CandidateEvaluator(

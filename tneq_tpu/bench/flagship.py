@@ -112,11 +112,14 @@ def run_8q(args) -> dict:
         if d.get("fingerprint") != _cache_fingerprint():
             log("target cache fingerprint mismatch; recomputing")
             return None
-        key = d["key"]
         try:
-            key = jax.random.wrap_key_data(jnp.asarray(key))
-        except Exception:
-            key = jnp.asarray(key)
+            key = jax.random.wrap_key_data(jnp.asarray(d["key"]))
+        except Exception as e:
+            # a key that cannot be wrapped (PRNG impl changed since the
+            # cache was written) would crash every child identically —
+            # invalidate and recompute instead
+            log(f"target cache key not wrappable ({e}); recomputing")
+            return None
         return (d["target"], d["ok"], d["fid"], d["steps"], d["fitted"],
                 key)
 

@@ -83,13 +83,17 @@ def _child_cmd(args, seed: int) -> list:
 
 
 # result-affecting knobs: a resume mixing different values of any of these
-# would merge incomparable restarts into one solution-family analysis
+# would merge incomparable restarts into one solution-family analysis.
+# "cpu" is result-affecting too: backend numerics alone flip pruning
+# trajectories (CPU seed 0 reached 20/35 where three TPU restarts got 19).
 RESULT_SETTINGS = ("validate_steps", "prune_steps", "lane_chunk",
-                   "max_outer", "sync_every", "jit_scope", "regen_target")
+                   "max_outer", "sync_every", "jit_scope", "regen_target",
+                   "cpu")
 
 
 def _settings(args) -> dict:
-    return {k: getattr(args, k) for k in RESULT_SETTINGS}
+    return {k: bool(getattr(args, k)) if k in ("regen_target", "cpu")
+            else getattr(args, k) for k in RESULT_SETTINGS}
 
 
 def _load_state(path: str, args) -> dict:
@@ -106,11 +110,38 @@ def _load_state(path: str, args) -> dict:
                 f"(use a different --out)"
             )
         if "settings" in state:
-            if state["settings"] != _settings(args):
+            cur = _settings(args)
+            rec = dict(state["settings"])
+            # keys added to RESULT_SETTINGS after a state file was
+            # created are adopted (warn); keys present must match exactly
+            missing = [k for k in cur if k not in rec]
+            if missing:
+                # "cpu" can be inferred from the recorded runs' device
+                # fields — never adopt a backend that contradicts them
+                if "cpu" in missing:
+                    devices = {r.get("device") for r in state.get("runs", [])
+                               if r.get("device")}
+                    if devices:
+                        was_cpu = all(
+                            str(d).startswith("cpu") for d in devices
+                        )
+                        if was_cpu != cur["cpu"]:
+                            raise SystemExit(
+                                f"state file {path} holds restarts from "
+                                f"device(s) {sorted(devices)}; refusing to "
+                                f"mix with cpu={cur['cpu']} (use a "
+                                f"different --out)"
+                            )
+                log(f"warning: {path} settings predate "
+                    f"{missing}; adopting current value(s) "
+                    f"{ {k: cur[k] for k in missing} }")
+                for k in missing:
+                    rec[k] = cur[k]
+                state["settings"] = rec
+            if rec != cur:
                 raise SystemExit(
-                    f"state file {path} records settings "
-                    f"{state['settings']}; refusing to mix with "
-                    f"{_settings(args)} — restarts under different "
+                    f"state file {path} records settings {rec}; refusing "
+                    f"to mix with {cur} — restarts under different "
                     f"protocols are not comparable (use a different --out)"
                 )
         else:  # legacy state file from before settings were recorded
@@ -175,6 +206,7 @@ def run_protocol(args, runner=None) -> dict:
     deadline = (
         time.time() + args.wall_budget if args.wall_budget else None
     )
+    prev_failed = False
     for seed in range(args.start_seed, args.start_seed + args.restarts):
         if seed in done:
             continue
@@ -188,6 +220,12 @@ def run_protocol(args, runner=None) -> dict:
             if deadline and time.time() > deadline:
                 state["wall_budget_exhausted"] = True
                 break
+            if prev_failed and args.retry_wait:
+                # recovery pause before ANY child that follows a failed
+                # one (including across seeds — a degraded channel takes
+                # minutes to come back; CLAUDE.md)
+                log(f"waiting {args.retry_wait}s before the next attempt")
+                time.sleep(args.retry_wait)
             log(f"--- restart seed={seed} attempt {attempt + 1}/"
                 f"{1 + args.retries} ---")
             env = dict(os.environ)
@@ -219,6 +257,12 @@ def run_protocol(args, runner=None) -> dict:
                         # crashing the unattended multi-hour run
                         rec = None
                         outcome = f"rc={r.returncode} (malformed RESULT)"
+            if rec is not None and rec.get("restarts_run") == 0:
+                # a --regen-target child whose every validation failed
+                # produced no restart: marking the seed done would poison
+                # the intersection analysis with an empty pruned set
+                rec = None
+                outcome = "no restart ran (all target validations failed)"
             if rec is not None:
                 rec["seed"] = seed
                 state["runs"].append(rec)
@@ -227,18 +271,19 @@ def run_protocol(args, runner=None) -> dict:
                     f"cores in {rec.get('wall_s')}s "
                     f"({len(state['runs'])} restart(s) recorded)")
                 landed = True
+                prev_failed = False
                 break
             log(f"restart seed={seed} attempt failed ({outcome})")
             state["failures"].append({"seed": seed, "outcome": outcome})
             _save_state(args.out, state)
-            if attempt < args.retries and not (
-                deadline and time.time() > deadline
-            ):
-                log(f"waiting {args.retry_wait}s before the next attempt")
-                time.sleep(args.retry_wait)
+            prev_failed = True
         if not landed:
             log(f"restart seed={seed}: no attempt landed; moving on")
-    state["complete"] = len(state["runs"]) >= args.restarts
+    done = {r["seed"] for r in state["runs"]}
+    state["complete"] = all(
+        s in done
+        for s in range(args.start_seed, args.start_seed + args.restarts)
+    )
     _save_state(args.out, state)
     return state
 
