@@ -330,3 +330,52 @@ def test_cli_rc3_on_abandoned(tmp_path, capsys, monkeypatch):
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["stopped_on_abandoned_child"] is True
     assert d["complete"] is False
+
+
+class TestProtocolCompare:
+    def _state(self, rows, planted=(0, 1, 2, 9)):
+        return {"runs": [
+            {"seed": s, "pruned_list": sorted(lst),
+             "planted_mask": sorted(planted)} for s, lst in rows
+        ]}
+
+    def test_per_seed_and_pooled(self):
+        from tneq_tpu.bench.protocol_compare import compare_protocols
+        a = self._state([(0, [1, 2, 3]), (1, [2, 3, 4]), (5, [0, 1])])
+        b = self._state([(0, [1, 2, 3]), (1, [2, 3, 9])])
+        rep = compare_protocols(a, b, "tpu", "cpu")
+        assert rep["shared_seeds"] == [0, 1]
+        assert rep["seeds_identical_set"] == 1
+        assert rep["seeds_equal_size"] == 2
+        r0, r1 = rep["per_seed"]
+        assert r0["jaccard"] == 1.0 and r0["only_tpu"] == []
+        assert r1["only_tpu"] == [4] and r1["only_cpu"] == [9]
+        # planted = {0,1,2,9}: seed-1 tpu recovers {2}, cpu recovers {2,9}
+        assert r1["planted_recovered_tpu"] == 1
+        assert r1["planted_recovered_cpu"] == 2
+        pooled = rep["pooled_family"]
+        assert pooled["n_runs"] == 5  # 3 + 2, including tpu-only seed 5
+        assert pooled["intersection_size"] == 0
+        assert pooled["union_size"] == 6
+        assert pooled["best_pruned_size"] == 3
+        assert rep["mean_jaccard"] == round((1.0 + 2 / 4) / 2, 4)
+
+    def test_no_shared_seeds(self):
+        from tneq_tpu.bench.protocol_compare import compare_protocols
+        rep = compare_protocols(self._state([(0, [1])]),
+                                self._state([(1, [2])]))
+        assert rep["n_shared"] == 0 and rep["mean_jaccard"] is None
+        assert rep["pooled_family"]["n_runs"] == 2
+
+    def test_cli_writes_artifact(self, tmp_path, capsys):
+        from tneq_tpu.bench import protocol_compare
+        pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+        pa.write_text(json.dumps(self._state([(0, [1, 2])])))
+        pb.write_text(json.dumps(self._state([(0, [1, 3])])))
+        out = tmp_path / "cmp.json"
+        rc = protocol_compare.main([
+            "--a", str(pa), "--b", str(pb), "--out", str(out)])
+        assert rc == 0
+        line = json.loads(capsys.readouterr().out.strip())
+        assert line["metric"] == "protocol_backend_mean_jaccard"
+        assert json.loads(out.read_text())["n_shared"] == 1
