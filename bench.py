@@ -151,6 +151,19 @@ def _measure(force_cpu: bool) -> tuple:
 def tpu_attempt() -> int:
     """Child-process entry: one clean-exit TPU measurement."""
     try:
+        import atexit
+
+        from tneq_tpu.bench._tpulock import TpuBusy, acquire
+
+        try:
+            release = acquire("bench.py tpu_attempt")
+        except TpuBusy as e:
+            log(f"TPU channel BUSY: {e} — refusing a second client")
+            return 4
+        atexit.register(release)
+    except ImportError:
+        pass
+    try:
         _alarm(CHILD_BUDGET_S)
         sps, device = _measure(force_cpu=False)
         signal.alarm(0)
@@ -233,6 +246,24 @@ def bench_torch_cpu() -> float:
 
 
 def main():
+    # if another TPU client is live (a forgotten protocol child, a probe),
+    # wait for it to finish rather than racing it onto the tunnel — the
+    # driver runs this unattended at round end
+    try:
+        from tneq_tpu.bench._tpulock import holder
+
+        waited = 0
+        while holder() is not None and waited < 1500:
+            live = holder()
+            if live is None:
+                break
+            log(f"TPU channel held by pid={live.get('pid')} "
+                f"tag={live.get('tag')!r}; waiting ({waited}s)")
+            time.sleep(60)
+            waited += 60
+    except ImportError:
+        pass
+
     jax_sps, device = None, None
     for i in range(TPU_ATTEMPTS):
         env = dict(os.environ)

@@ -367,6 +367,45 @@ class TestProtocolCompare:
         assert rep["n_shared"] == 0 and rep["mean_jaccard"] is None
         assert rep["pooled_family"]["n_runs"] == 2
 
+    def test_equal_labels_rejected(self):
+        from tneq_tpu.bench.protocol_compare import compare_protocols
+        with pytest.raises(ValueError, match="collide"):
+            compare_protocols(self._state([(0, [1])]),
+                              self._state([(0, [2])]), "cpu", "cpu")
+
+    def test_per_row_planted_masks(self, capsys):
+        # regen-target runs may carry DIFFERENT masks: recovery counts
+        # must use each run's own mask (ADVICE r3)
+        from tneq_tpu.bench.protocol_compare import compare_protocols
+        a = {"runs": [{"seed": 0, "pruned_list": [1, 2],
+                       "planted_mask": [1, 5]}]}
+        b = {"runs": [{"seed": 0, "pruned_list": [1, 2],
+                       "planted_mask": [2, 7]}]}
+        rep = compare_protocols(a, b, "tpu", "cpu")
+        row = rep["per_seed"][0]
+        assert row["planted_recovered_tpu"] == 1  # {1,2} ∩ {1,5}
+        assert row["planted_recovered_cpu"] == 1  # {1,2} ∩ {2,7}
+        assert rep["planted_masks_consistent"] is False
+        assert "distinct planted_mask" in capsys.readouterr().err
+
+    def test_inputs_snapshot_recorded(self):
+        from tneq_tpu.bench.protocol_compare import compare_protocols
+        a = self._state([(0, [1]), (3, [2])])
+        a["mode"], a["date"] = "pair", "2026-08-19"
+        rep = compare_protocols(a, self._state([(0, [1])]), "tpu", "cpu")
+        snap = rep["inputs"]["tpu"]
+        assert snap["n_runs"] == 2 and snap["seeds"] == [0, 3]
+        assert snap["mode"] == "pair" and snap["date"] == "2026-08-19"
+        assert rep["inputs"]["cpu"]["n_runs"] == 1
+
+    def test_cli_rejects_equal_labels(self, tmp_path):
+        from tneq_tpu.bench import protocol_compare
+        pa = tmp_path / "a.json"
+        pa.write_text(json.dumps(self._state([(0, [1])])))
+        with pytest.raises(SystemExit):
+            protocol_compare.main(["--a", str(pa), "--b", str(pa),
+                                   "--label-a", "x", "--label-b", "x"])
+
     def test_cli_writes_artifact(self, tmp_path, capsys):
         from tneq_tpu.bench import protocol_compare
         pa, pb = tmp_path / "a.json", tmp_path / "b.json"

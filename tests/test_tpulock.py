@@ -1,0 +1,110 @@
+"""Advisory TPU-client lockfile (`bench/_tpulock.py`) + axon_probe BUSY.
+
+Round 3 logged a false ``channel DOWN`` verdict from ``axon_probe`` while
+another TPU client was live; the lockfile lets the probe (and every other
+TPU entry point) distinguish BUSY from DOWN.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tneq_tpu.bench import _tpulock
+
+
+@pytest.fixture
+def lockpath(tmp_path, monkeypatch):
+    path = str(tmp_path / "tpu.lock")
+    monkeypatch.setenv("TNEQ_TPU_LOCK_PATH", path)
+    monkeypatch.delenv("TNEQ_TPU_LOCK", raising=False)
+    return path
+
+
+def test_acquire_release_roundtrip(lockpath):
+    assert _tpulock.holder() is None
+    release = _tpulock.acquire("test-client")
+    info = json.load(open(lockpath))
+    assert info["pid"] == os.getpid()
+    assert info["tag"] == "test-client"
+    # our own pid is never reported as a (foreign) holder
+    assert _tpulock.holder() is None
+    release()
+    assert not os.path.exists(lockpath)
+
+
+def test_second_live_client_is_busy(lockpath):
+    # a genuinely-live foreign pid: a sleeping child process
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        with open(lockpath, "w") as f:
+            json.dump({"pid": child.pid, "tag": "other", "started": 0}, f)
+        live = _tpulock.holder()
+        assert live is not None and live["pid"] == child.pid
+        with pytest.raises(_tpulock.TpuBusy) as exc:
+            _tpulock.acquire("me")
+        assert "other" in str(exc.value)
+    finally:
+        child.terminate()
+        child.wait()
+
+
+def test_stale_holder_is_cleaned_and_acquirable(lockpath):
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()  # pid is now dead
+    with open(lockpath, "w") as f:
+        json.dump({"pid": child.pid, "tag": "dead", "started": 0}, f)
+    assert _tpulock.holder() is None  # stale → cleaned
+    release = _tpulock.acquire("me")
+    assert json.load(open(lockpath))["tag"] == "me"
+    release()
+
+
+def test_corrupt_lockfile_is_cleaned(lockpath):
+    with open(lockpath, "w") as f:
+        f.write("{not json")
+    assert _tpulock.holder() is None
+    assert not os.path.exists(lockpath)
+
+
+def test_disabled_via_env(lockpath, monkeypatch):
+    monkeypatch.setenv("TNEQ_TPU_LOCK", "0")
+    release = _tpulock.acquire("anything")
+    assert not os.path.exists(lockpath)
+    assert _tpulock.holder() is None
+    release()
+
+
+def test_guard_context_manager(lockpath):
+    with _tpulock.guard("ctx"):
+        assert os.path.exists(lockpath)
+    assert not os.path.exists(lockpath)
+
+
+def test_axon_probe_reports_busy(lockpath):
+    """With a live foreign holder, the probe exits 2 and says BUSY —
+    never DOWN (it must not touch the backend at all)."""
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(120)"])
+    try:
+        with open(lockpath, "w") as f:
+            json.dump({"pid": child.pid, "tag": "proto-child",
+                       "started": 0}, f)
+        env = dict(os.environ)
+        env["TNEQ_TPU_LOCK_PATH"] = lockpath
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "-m", "tneq_tpu.bench.axon_probe"],
+            capture_output=True, text=True, timeout=120, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 2, r.stdout + r.stderr
+        assert "BUSY" in r.stdout
+        assert "proto-child" in r.stdout
+        assert "DOWN" not in r.stdout
+    finally:
+        child.terminate()
+        child.wait()

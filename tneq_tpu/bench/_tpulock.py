@@ -1,0 +1,133 @@
+"""Advisory single-client lockfile for the axon TPU channel.
+
+The tunnel supports ONE client process at a time (CLAUDE.md:
+serialize-TPU-access).  Round 3 logged a false ``channel DOWN`` verdict
+from ``axon_probe`` while another client was live — the probe could not
+distinguish *down* from *busy*.  Every TPU-touching CLI now registers
+itself here so the probe (and any other entry point) can detect a live
+client and report BUSY instead of probing into a held channel.
+
+This is an **advisory** lock for a single cooperating operator, not a
+race-proof mutex: the holder file records ``{pid, tag, started}``; a
+holder whose pid is no longer alive is stale and silently removed.
+``TNEQ_TPU_LOCK_PATH`` overrides the path (tests); ``TNEQ_TPU_LOCK=0``
+disables the mechanism entirely.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import errno
+import json
+import os
+import time
+
+__all__ = ["TpuBusy", "holder", "acquire", "guard", "LOCK_PATH"]
+
+LOCK_PATH = "/tmp/tneq_tpu_client.lock"
+
+
+def _path() -> str:
+    return os.environ.get("TNEQ_TPU_LOCK_PATH", LOCK_PATH)
+
+
+def _enabled() -> bool:
+    return os.environ.get("TNEQ_TPU_LOCK", "1") != "0"
+
+
+class TpuBusy(RuntimeError):
+    """A live TPU client already holds the channel."""
+
+    def __init__(self, info: dict):
+        self.info = info
+        age = time.time() - info.get("started", time.time())
+        super().__init__(
+            f"live TPU client pid={info.get('pid')} "
+            f"tag={info.get('tag')!r} (age {age:.0f}s)"
+        )
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by someone else
+        return True
+    return True
+
+
+def holder() -> dict | None:
+    """Info dict of a LIVE lock holder, else None.
+
+    A stale file (dead pid, unparseable) is removed as a side effect.
+    """
+    if not _enabled():
+        return None
+    path = _path()
+    try:
+        with open(path) as f:
+            info = json.load(f)
+        pid = int(info["pid"])
+    except (OSError, ValueError, KeyError, TypeError):
+        with contextlib.suppress(OSError):
+            if os.path.exists(path):
+                os.unlink(path)
+        return None
+    if pid == os.getpid() or not _pid_alive(pid):
+        if not _pid_alive(pid):
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+        return None
+    return info
+
+
+def acquire(tag: str):
+    """Register this process as the TPU client; returns a release callable.
+
+    Raises :class:`TpuBusy` if a live holder exists.  Disabled
+    (``TNEQ_TPU_LOCK=0``) → no-op release.
+    """
+    if not _enabled():
+        return lambda: None
+    path = _path()
+    for _ in range(2):  # one retry after clearing a stale file
+        live = holder()
+        if live is not None:
+            raise TpuBusy(live)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except OSError as e:
+            if e.errno == errno.EEXIST:
+                continue  # raced or stale; holder() above will clean it
+            raise
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pid": os.getpid(), "tag": tag,
+                       "started": time.time()}, f)
+        break
+    else:
+        live = holder()
+        if live is not None:
+            raise TpuBusy(live)
+        raise OSError(f"could not create TPU lockfile {path}")
+
+    def release():
+        try:
+            with open(path) as f:
+                info = json.load(f)
+            if int(info.get("pid", -1)) == os.getpid():
+                os.unlink(path)
+        except (OSError, ValueError):
+            pass
+
+    return release
+
+
+@contextlib.contextmanager
+def guard(tag: str):
+    """Context manager around :func:`acquire`."""
+    release = acquire(tag)
+    try:
+        yield
+    finally:
+        release()

@@ -41,6 +41,23 @@ def _probe(name: str, fn, secs: int = 75) -> str:
 
 
 def main() -> int:
+    # BUSY vs DOWN: a live TPU client holding the channel makes every
+    # probe error/hang — that is contention, not an outage (round-3 logged
+    # a false DOWN verdict while another client was live).  Check the
+    # advisory client lock BEFORE touching the backend and report BUSY
+    # (rc 2) so watcher loops wait instead of declaring the channel dead.
+    import atexit
+
+    from ._tpulock import TpuBusy, acquire
+
+    try:
+        release = acquire("axon_probe")
+    except TpuBusy as e:
+        print(f"channel BUSY: {e} — not probing (serialize-TPU-access)",
+              flush=True)
+        return 2
+    atexit.register(release)
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -383,6 +383,20 @@ def child_cmd(args, *, seed=None, restarts=None) -> list:
 
 
 def attempt(args) -> int:
+    if not args.cpu and os.environ.get("TNEQ_PLATFORM") != "cpu":
+        # register as THE tunnel client (advisory; lets axon_probe report
+        # BUSY instead of a false DOWN while this child is live)
+        import atexit
+
+        from ._tpulock import TpuBusy, acquire
+
+        try:
+            release = acquire(f"flagship-attempt mode={args.mode} "
+                              f"seed={args.seed}")
+        except TpuBusy as e:
+            log(f"TPU channel BUSY: {e} — refusing a second client")
+            return 3
+        atexit.register(release)
     try:
         _alarm(args.budget)
         dev = _first_fetch()

@@ -37,23 +37,52 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(u) if u else 1.0
 
 
+def _input_snapshot(state: dict, runs: dict) -> dict:
+    """Provenance of one input state file, embedded in the artifact so a
+    reader can tell when the comparison is stale relative to the inputs
+    (ADVICE r3: the compare artifact drifted from a protocol file that
+    grew more seeds after the comparison ran)."""
+    return {
+        "n_runs": len(runs),
+        "seeds": sorted(runs),
+        "mode": state.get("mode"),
+        "batched": state.get("batched"),
+        "date": state.get("date"),
+    }
+
+
 def compare_protocols(state_a: dict, state_b: dict,
                       label_a: str = "a", label_b: str = "b") -> dict:
     """Per-seed and pooled comparison of two protocol state dicts.
 
     Only seeds present (landed) in BOTH states enter the per-seed rows;
-    the pooled family analysis uses every landed run of both.
+    the pooled family analysis uses every landed run of both.  Planted
+    recovery is computed against each RUN'S OWN recorded planted_mask
+    (runs under regen-target protocols may carry different masks); a
+    mask mismatch across runs is surfaced in ``planted_masks_consistent``.
     """
+    if label_a == label_b:
+        raise ValueError(
+            f"label_a and label_b are both {label_a!r}: per-seed keys "
+            f"would silently collide (pass distinct --label-a/--label-b)"
+        )
     runs_a, runs_b = _runs_by_seed(state_a), _runs_by_seed(state_b)
     shared = sorted(set(runs_a) & set(runs_b))
-    planted = None
+
+    def _mask(run: dict) -> set:
+        return set(run.get("planted_mask") or [])
+
+    all_runs = list(runs_a.values()) + list(runs_b.values())
+    masks = {tuple(sorted(_mask(r))) for r in all_runs}
+    masks_consistent = len(masks) <= 1
+    if not masks_consistent:
+        print(f"warning: {len(masks)} distinct planted_mask values across "
+              f"runs; planted-recovery counts are per-run, pooled "
+              f"stable-core uses the first run's mask", file=sys.stderr)
     per_seed = []
     for s in shared:
         ra, rb = runs_a[s], runs_b[s]
         sa, sb = set(ra["pruned_list"]), set(rb["pruned_list"])
-        if planted is None:
-            planted = set(ra.get("planted_mask") or rb.get("planted_mask")
-                          or [])
         per_seed.append({
             "seed": s,
             f"pruned_{label_a}": len(sa),
@@ -62,17 +91,13 @@ def compare_protocols(state_a: dict, state_b: dict,
             "common": len(sa & sb),
             f"only_{label_a}": sorted(sa - sb),
             f"only_{label_b}": sorted(sb - sa),
-            f"planted_recovered_{label_a}": len(sa & planted),
-            f"planted_recovered_{label_b}": len(sb & planted),
+            f"planted_recovered_{label_a}": len(sa & _mask(ra)),
+            f"planted_recovered_{label_b}": len(sb & _mask(rb)),
         })
-    all_sets = ([set(r["pruned_list"]) for r in runs_a.values()]
-                + [set(r["pruned_list"]) for r in runs_b.values()])
+    all_sets = [set(r["pruned_list"]) for r in all_runs]
+    planted = _mask(all_runs[0]) if all_runs else None
     pooled = {}
     if all_sets:
-        if planted is None:
-            any_run = (next(iter(runs_a.values()), None)
-                       or next(iter(runs_b.values()), None))
-            planted = set((any_run or {}).get("planted_mask") or [])
         inter = set.intersection(*all_sets)
         union = set.union(*all_sets)
         pooled = {
@@ -87,6 +112,9 @@ def compare_protocols(state_a: dict, state_b: dict,
     return {
         "experiment": "flagship protocol backend comparison",
         "labels": [label_a, label_b],
+        "inputs": {label_a: _input_snapshot(state_a, runs_a),
+                   label_b: _input_snapshot(state_b, runs_b)},
+        "planted_masks_consistent": masks_consistent,
         "shared_seeds": shared,
         "n_shared": len(shared),
         "per_seed": per_seed,
@@ -110,6 +138,8 @@ def main(argv=None) -> int:
     p.add_argument("--label-b", default="cpu")
     p.add_argument("--out", default=None, help="write full artifact here")
     args = p.parse_args(argv)
+    if args.label_a == args.label_b:
+        p.error(f"--label-a and --label-b must differ (both {args.label_a!r})")
     with open(args.a) as f:
         state_a = json.load(f)
     with open(args.b) as f:

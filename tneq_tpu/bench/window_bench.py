@@ -48,6 +48,17 @@ def main(argv=None) -> int:
                     help="seconds to wait on the first (handshake) fetch")
     args = ap.parse_args(argv)
 
+    import atexit
+
+    from ._tpulock import TpuBusy, acquire
+
+    try:
+        release = acquire("window_bench")
+    except TpuBusy as e:
+        log(f"TPU channel BUSY: {e} — refusing a second client")
+        return 2
+    atexit.register(release)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
