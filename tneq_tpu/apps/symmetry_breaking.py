@@ -49,6 +49,29 @@ class SymmetryBreakingConfig:
     n_qubits: int = 8
     n_cells: int = 5
     rank: int = 2
+    # 'brick': the reference's brick-wall circuit (n_cells layers of
+    # two-qubit gates, bond rank `rank`).  'mps': an MPS chain with
+    # physical rank `rank` and internal bond `bond_dim` — the big-bond
+    # topology whose network-mode overlap cost is polynomial in bond_dim
+    # (a rank-64 brick wall's row-cut boundary grows as rank^cells and can
+    # never reach the MXU knee).  MPS masking substitutes TRANSPARENT
+    # cores (train.fit.transparent_cores): bond passes through, phys legs
+    # identity — boundary cores have no transparent form and are never
+    # candidates.  'mps' requires fidelity_mode='network'.
+    topology: str = "brick"
+    bond_dim: int = 64
+    # fit optimizer: 'sgdg' (Stiefel SGD-G, the reference protocol) or any
+    # optim.factory method ('adam', 'sgd', ...).  MPS-topology fits NEED an
+    # unconstrained optimizer: the Stiefel-constrained fidelity flow on
+    # chain cores stalls at F~0.85 critical points where adam reaches
+    # 1-F < 1e-3 in a few hundred steps (tests/test_mps_symmetry.py)
+    optimizer: str = "sgdg"
+    # jax.default_matmul_precision for every fit program: 'highest'
+    # (multi-pass full-f32, the small-core flagship default — bf16 noise
+    # stalls Stiefel convergence there) or 'high'/'default' for big-bond
+    # MPS experiments where 6-pass f32 idles the MXU (bench/mps_flagship
+    # measures 'default' converging at D>=64 with tol 1e-3)
+    matmul_precision: str = "highest"
     # 'dense': fidelity against a materialized 4^n target tensor (reference
     # semantics, feasible to ~14 qubits); 'network': fidelity from
     # network-network overlaps only (scales to 30+ qubits)
@@ -95,10 +118,34 @@ class Experiment:
 
     def __init__(self, cfg: SymmetryBreakingConfig):
         self.cfg = cfg
-        self.incidence = build_brick_wall_incidence(
-            cfg.n_qubits, cfg.n_cells, cfg.rank
-        )
-        self.graph: CircuitGraph = parse_graph(incidence_to_graph(self.incidence))
+        identities = None
+        self.unmaskable: frozenset = frozenset()
+        if cfg.topology == "mps":
+            if cfg.fidelity_mode != "network":
+                raise ValueError(
+                    "topology='mps' requires fidelity_mode='network' (a "
+                    "dense 4^n target defeats the point of the chain)"
+                )
+            if cfg.complex_as_real:
+                raise ValueError("topology='mps' has no pair-form identities")
+            from ..graph.generators import mps_graph
+            from ..train.fit import transparent_cores
+
+            self.incidence = None
+            self.graph = parse_graph(
+                mps_graph(cfg.n_qubits, cfg.bond_dim, phys=cfg.rank)
+            )
+            identities, unmask = transparent_cores(self.graph, cfg.dtype)
+            self.unmaskable = frozenset(unmask)
+        elif cfg.topology == "brick":
+            self.incidence = build_brick_wall_incidence(
+                cfg.n_qubits, cfg.n_cells, cfg.rank
+            )
+            self.graph: CircuitGraph = parse_graph(
+                incidence_to_graph(self.incidence)
+            )
+        else:
+            raise ValueError(f"unknown topology {cfg.topology!r}")
         if cfg.fidelity_mode == "network":
             from functools import partial
 
@@ -109,6 +156,8 @@ class Experiment:
                 jit_scope=cfg.fit_jit_scope,
                 sync_every=cfg.fit_sync_every,
                 mesh=cfg.mesh,
+                identities=identities,
+                matmul_precision=cfg.matmul_precision,
             )
         elif cfg.fidelity_mode == "dense":
             from functools import partial
@@ -124,6 +173,11 @@ class Experiment:
             from ..optim.pair_stiefel import pair_sgdg
 
             make_opt = pair_sgdg
+        elif cfg.optimizer != "sgdg":
+            from ..optim.factory import make_optimizer
+
+            def make_opt(lr, momentum=0.9, stiefel=True):
+                return make_optimizer(cfg.optimizer, lr=lr, momentum=momentum)
         else:
             make_opt = sgdg
         self.validate_fit = make_fit(
@@ -172,12 +226,23 @@ class Experiment:
         return jnp.asarray(m)
 
     def row_would_empty(self, masked: Sequence[int]) -> bool:
-        """True if masking these cores leaves some qubit row with no cores
-        (the reference skips such candidates,
-        ``symmetry_breaking_quantum.py:204-206``)."""
+        """True if this mask is structurally forbidden: a brick-wall qubit
+        row left with no cores (the reference skips such candidates,
+        ``symmetry_breaking_quantum.py:204-206``), or — MPS topology — a
+        core with no transparent form (boundary cores; masking one zeroes
+        the network, see ``train.fit.transparent_cores``)."""
+        if self.unmaskable and not self.unmaskable.isdisjoint(masked):
+            return True
+        if self.incidence is None:
+            return False
         inc = self.incidence.copy()
         inc[:, list(masked)] = 0
         return bool(((inc > 0).sum(axis=1) == 0).any())
+
+    def candidate_indices(self) -> List[int]:
+        """Core indices the pruning loops may try (excludes unmaskable)."""
+        return [i for i in range(self.graph.ncores)
+                if i not in self.unmaskable]
 
 
 def make_experiment(cfg: Optional[SymmetryBreakingConfig] = None) -> Experiment:
@@ -257,7 +322,7 @@ def symmetry_breaking(
     rng = np.random.default_rng(np.asarray(jax.random.key_data(key))[-1])
     pruned: List[int] = []
     prune_count = 0
-    candidates = list(range(exp.graph.ncores))
+    candidates = exp.candidate_indices()
     current = warm_params
 
     for outer in range(cfg.max_outer_iterations):
@@ -365,7 +430,7 @@ def symmetry_breaking_batched(
     while len(pruned) < exp.graph.ncores:
         candidates = [
             c
-            for c in range(exp.graph.ncores)
+            for c in exp.candidate_indices()
             if c not in pruned and not exp.row_would_empty(pruned + [c])
         ]
         if not candidates:

@@ -50,6 +50,7 @@ class FitDrivers:
         sync_every: int,
         running: Callable,
         init_metric: float,
+        matmul_precision: str = "highest",
     ):
         self.step = step
         self.optimizer = optimizer
@@ -57,19 +58,22 @@ class FitDrivers:
         self.sync_every = max(1, int(sync_every))
         self.running = running
         self.init_metric = float(init_metric)
+        self.matmul_precision = matmul_precision
         self._chunk_jit: dict = {}
         self._batched_jit: dict = {}
 
     # -- program builders -------------------------------------------------
     def _chunk_body(self, k: int):
         """Unjitted k-step scan: the amortization unit for the 'chunk'
-        host loop and the vmapped batched driver.  Full f32 matmuls: the
-        TPU default (fast bf16 passes) stalls Stiefel convergence near
-        bf16 noise."""
+        host loop and the vmapped batched driver.  Default precision:
+        'highest' = full f32 matmuls (the TPU's fast single-pass-bf16
+        default stalls Stiefel convergence near bf16 noise for the
+        small-core flagship); big-bond MPS experiments override it ('high'
+        = 3-pass bf16x3, ~f32 accuracy at MXU pace — bench/mps_flagship)."""
         step = self.step
 
         def chunk(params, opt_state, mask, *shared):
-            with jax.default_matmul_precision("highest"):
+            with jax.default_matmul_precision(self.matmul_precision):
                 def body(carry, _):
                     p, o = carry
                     p, o, m = step(p, o, mask, *shared)

@@ -29,7 +29,12 @@ from ..optim.stiefel import GradientTransformation
 from ._fit_driver import FitDrivers
 from .losses import fidelity
 
-__all__ = ["identity_cores", "make_masked_fidelity_fit", "FitResult"]
+__all__ = [
+    "identity_cores",
+    "transparent_cores",
+    "make_masked_fidelity_fit",
+    "FitResult",
+]
 
 
 def identity_cores(graph: CircuitGraph, dtype=jnp.complex64):
@@ -51,6 +56,67 @@ def identity_cores(graph: CircuitGraph, dtype=jnp.complex64):
         eye = np.eye(core.input_dim, dtype=np.dtype(dtype))
         out[core.name] = eye.reshape(core.shape)
     return out
+
+
+def transparent_cores(graph: CircuitGraph, dtype=jnp.complex64):
+    """Pass-through ("transparent") identity cores for GENERAL core shapes.
+
+    A core is transparent-maskable when its input legs pair one-to-one with
+    equal-rank output legs; the transparent core is the product of Kronecker
+    deltas over those pairs.  Pairing prefers the same leg position (for
+    gate-style cores — every brick-wall core — this reproduces
+    :func:`identity_cores` exactly: each qubit line passes straight
+    through), then falls back to first-equal-rank matching, which covers
+    MPS-chain interior cores ``[D, p, p, D]``: bond→bond + phys→phys, so a
+    masked core contracts away and the chain behaves as if the site were
+    trivial.
+
+    Returns ``(idents, unmaskable)``: cores with no perfect pairing (e.g.
+    MPS boundary cores, whose output carries a bond the input lacks) get
+    ZERO tensors — masking one zeroes every overlap (fidelity → 0, never
+    accepted by the pruning rule), a fail-safe — and their indices are
+    listed in ``unmaskable``; experiment drivers must exclude them from
+    candidate and planted masks.
+    """
+    idents, unmaskable = {}, []
+    for core in graph.cores:
+        n_in, n_out = len(core.in_edges), len(core.out_edges)
+        pairs, used = [], set()
+        if n_in == n_out:
+            # prefer positional pairing (gate semantics: leg k in == leg k
+            # out on the same qubit line)
+            if all(core.in_edges[k].rank == core.out_edges[k].rank
+                   for k in range(n_in)):
+                pairs = [(k, k) for k in range(n_in)]
+            else:
+                for i in range(n_in):
+                    j = next(
+                        (j for j in range(n_out)
+                         if j not in used
+                         and core.out_edges[j].rank == core.in_edges[i].rank),
+                        None,
+                    )
+                    if j is None:
+                        pairs = []
+                        break
+                    used.add(j)
+                    pairs.append((i, j))
+        if not pairs and (n_in or n_out):
+            unmaskable.append(core.index)
+            idents[core.name] = np.zeros(core.shape, np.dtype(dtype))
+            continue
+        terms, operands = [], []
+        out_letters = [None] * n_out
+        for i, j in pairs:
+            a, b = chr(ord("a") + i), chr(ord("A") + j)
+            out_letters[j] = b
+            terms.append(a + b)
+            operands.append(np.eye(core.in_edges[i].rank, dtype=np.float64))
+        eq = (",".join(terms) + "->"
+              + "".join(chr(ord("a") + i) for i in range(n_in))
+              + "".join(out_letters))
+        idents[core.name] = np.einsum(eq, *operands).astype(np.dtype(dtype))
+    return idents, tuple(unmaskable)
 
 
 class FitResult(NamedTuple):

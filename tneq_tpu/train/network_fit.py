@@ -228,6 +228,8 @@ def make_masked_network_fidelity_fit(
     mesh=None,
     model_axis: str = "model",
     slice_bonds=None,
+    identities=None,
+    matmul_precision: str = "highest",
 ) -> Callable:
     """Build ``fit(params, mask, target_params, target_mask) -> FitResult``.
 
@@ -250,6 +252,14 @@ def make_masked_network_fidelity_fit(
     ICI — the 30+-qubit multi-chip path (reference:
     ``distributed_engine.py:1384-1499``).  ``slice_bonds`` overrides the
     automatic bond choice.
+
+    ``identities``: override the masked-core substitution tensors (default:
+    gate-style ``identity_cores``; MPS topologies pass
+    ``train.fit.transparent_cores`` output, whose unmaskable cores carry
+    zeros — see that docstring).  ``matmul_precision``: the
+    ``jax.default_matmul_precision`` every fit program runs under —
+    'highest' (full-f32, the flagship default) or 'high'/'default' for
+    big-bond MPS experiments where multi-pass f32 would idle the MXU.
     """
     from ..ops.mps_sweep import is_mps_chain
     from ..ops.pairwise import make_log_abs_overlap_fn
@@ -287,7 +297,10 @@ def make_masked_network_fidelity_fit(
                                       _chain_cores(graph, b))
         return generic_overlap(a, b)
 
-    if complex_as_real:
+    if identities is not None:
+        idents = identities
+        cast = jnp.float32 if complex_as_real else dtype
+    elif complex_as_real:
         from .fit import pair_identity_cores
 
         idents = pair_identity_cores(graph)
@@ -321,7 +334,7 @@ def make_masked_network_fidelity_fit(
     @jax.jit
     def prepare(target_params, target_mask):
         """Loop-invariant target quantities, computed once per fit."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(matmul_precision):
             target_eff_n = _normalize(effective(target_params, target_mask))
             return target_eff_n, log_abs_overlap(target_eff_n, target_eff_n)
 
@@ -334,6 +347,7 @@ def make_masked_network_fidelity_fit(
     drivers = FitDrivers(
         _step, optimizer, max_steps, sync_every,
         running=lambda nlf: nlf > -log_tol, init_metric=1e9,
+        matmul_precision=matmul_precision,
     )
 
     def batched(
@@ -382,8 +396,8 @@ def make_masked_network_fidelity_fit(
 
     @jax.jit
     def fit_jitted(params, mask, target_params, target_mask) -> FitResult:
-        # full-precision matmuls (see train/fit.py)
-        with jax.default_matmul_precision("highest"):
+        # full-precision matmuls by default (see train/fit.py)
+        with jax.default_matmul_precision(matmul_precision):
             target_eff_n = _normalize(effective(target_params, target_mask))
             log_tt = log_abs_overlap(target_eff_n, target_eff_n)
             p, o, steps, nlf = drivers.fit_while(
