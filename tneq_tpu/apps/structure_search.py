@@ -43,6 +43,10 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--crossover-prob", type=float, default=0.0,
                    help="probability an offspring pair comes from "
                         "single-qubit-line crossover instead of mutation")
+    p.add_argument("--mutations-per-child", type=int, default=1,
+                   help="structural mutations per offspring (1 = reference "
+                        "parity; >1 accelerates recovery searches whose "
+                        "goal is many bond-growths away)")
     p.add_argument("--elitism", type=int, default=0,
                    help="carry this many top parents over unmutated each "
                         "generation (0 = reference parity: every offspring "
@@ -107,7 +111,8 @@ def main(argv: Optional[Sequence[str]] = None):
         },
         evolution_property={"top_k": args.top_k, "n_copy": args.n_copy,
                             "crossover_prob": args.crossover_prob,
-                            "elitism": args.elitism},
+                            "elitism": args.elitism,
+                            "mutations_per_child": args.mutations_per_child},
         max_generation=args.generations,
         clear_caches_every=args.clear_caches_every,
         seed=args.seed,

@@ -228,6 +228,13 @@ class Generation:
         n_copy = self.evolution_property.get("n_copy", 4)
         cx_prob = float(self.evolution_property.get("crossover_prob", 0.0))
         elitism = int(self.evolution_property.get("elitism", 0))
+        # structural mutations applied per offspring (1 = reference parity,
+        # mpi_generation.py:613-639 mutates once).  Recovery searches whose
+        # goal is many bond-growths away move ~n x faster at n > 1 (the
+        # 30q bond-4 recovery needs 29 accepted growths; GA_recover_r03
+        # managed 5 in 20 generations at n=1)
+        n_mut = max(1, int(self.evolution_property.get(
+            "mutations_per_child", 1)))
         for name, soc in self.societies.items():
             ranked = sorted(
                 soc.individuals,
@@ -286,7 +293,8 @@ class Generation:
                         next_scope(), p.graph.to_dsl(), (p.scope,),
                         soc.fitness_func,
                     )
-                    child.mutate()
+                    for _ in range(n_mut):
+                        child.mutate()
                     offspring.append(child)
             soc.individuals = offspring
 
