@@ -62,8 +62,10 @@ def main(argv=None) -> int:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--lr", type=float, default=5e-2)
     ap.add_argument("--seed", type=int, default=11)
-    ap.add_argument("--grown", type=str, default="0,5,10,15,20,25,29",
-                    help="comma list: bonds grown to goal rank per probe")
+    ap.add_argument("--grown", type=str, default=None,
+                    help="comma list: bonds grown to goal rank per probe "
+                         "(default: 8 evenly spaced points 0..n-2 "
+                         "inclusive; an n-qubit MPS has n-2 interior bonds)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -97,8 +99,15 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
 
+    if args.grown:
+        grown_list = [int(x) for x in args.grown.split(",")]
+    else:
+        grown_list = sorted({round(i * n_bonds / 7) for i in range(8)})
+    bad = [k for k in grown_list if not 0 <= k <= n_bonds]
+    if bad:
+        ap.error(f"--grown values {bad} outside [0, {n_bonds}]")
     rows = []
-    for k in [int(x) for x in args.grown.split(",")]:
+    for k in grown_list:
         grown_idx = sorted(rng.choice(n_bonds, size=k, replace=False))
         bonds = [B] * n_bonds
         for i in grown_idx:
