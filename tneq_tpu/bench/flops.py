@@ -51,6 +51,12 @@ PEAK_TFLOPS_HIGHEST: Dict[str, float] = {
     "float32": 197.0 / 6.0,
     "complex64": 197.0 / 6.0,
 }
+# precision='high' = bf16x3 (3 passes per product, ~f32 accuracy)
+PEAK_TFLOPS_HIGH: Dict[str, float] = {
+    "bfloat16": 197.0,
+    "float32": 197.0 / 3.0,
+    "complex64": 197.0 / 3.0,
+}
 # chained 8192^2 bf16 matmuls measured on this chip (round 1/2)
 MEASURED_MATMUL_TFLOPS = 133.5
 
@@ -148,11 +154,14 @@ def mxu_utilization(
     """Fraction of the single-chip MXU peak for this dtype/precision.
 
     ``precision='default'`` (JAX default: single-pass bf16 MXU for every
-    dtype) divides by the bf16 theoretical peak; ``'highest'`` by the
-    multi-pass-f32 peak.
+    dtype) divides by the bf16 theoretical peak; ``'high'`` by the 3-pass
+    bf16x3 peak; ``'highest'`` by the 6-pass-f32 peak.
     """
     key = np.dtype(dtype).name
-    table = PEAK_TFLOPS_HIGHEST if precision == "highest" else PEAK_TFLOPS
+    table = {
+        "highest": PEAK_TFLOPS_HIGHEST,
+        "high": PEAK_TFLOPS_HIGH,
+    }.get(precision, PEAK_TFLOPS)
     peak = table.get(key, table["float32"])
     return tflops_achieved / peak
 
