@@ -134,3 +134,30 @@ class TestMPSExperiment:
                 assert attempts >= len(pruned)
                 return
         pytest.fail("no seed validated AND recovered the planted core")
+
+
+class TestMutationWeights:
+    def test_bond_only_weights_never_change_core_count(self):
+        from tneq_tpu.genetic import Individual
+        from tneq_tpu.graph.generators import mps_graph
+
+        ind = Individual("w", mps_graph(6, 2), tn_rank=4,
+                         rng=np.random.default_rng(0))
+        import re
+        def n_cores(i):
+            return len(set(re.findall(r"-(?:\d+)-([A-Za-z])", i.graph.to_dsl())))
+        c0 = n_cores(ind)
+        for _ in range(20):
+            ind.mutate(weights=(1.0, 0.0, 0.0))
+        assert n_cores(ind) == c0  # bond flips only: no inserts/removals
+
+    def test_bad_weights_raise(self):
+        from tneq_tpu.genetic import Individual
+        from tneq_tpu.graph.generators import mps_graph
+
+        ind = Individual("w", mps_graph(4, 2), tn_rank=4)
+        import pytest
+        with pytest.raises(ValueError):
+            ind.mutate(weights=(1.0, 2.0))
+        with pytest.raises(ValueError):
+            ind.mutate(weights=(-1.0, 1.0, 1.0))

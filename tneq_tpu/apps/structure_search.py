@@ -43,6 +43,11 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--crossover-prob", type=float, default=0.0,
                    help="probability an offspring pair comes from "
                         "single-qubit-line crossover instead of mutation")
+    p.add_argument("--mutation-weights", type=str, default=None,
+                   help="comma triple 'bond,insert,remove' operator "
+                        "probabilities (default uniform = reference "
+                        "parity); bond-heavy weights accelerate recovery "
+                        "searches whose goal differs only in bond ranks")
     p.add_argument("--mutations-per-child", type=int, default=1,
                    help="structural mutations per offspring (1 = reference "
                         "parity; >1 accelerates recovery searches whose "
@@ -112,7 +117,11 @@ def main(argv: Optional[Sequence[str]] = None):
         evolution_property={"top_k": args.top_k, "n_copy": args.n_copy,
                             "crossover_prob": args.crossover_prob,
                             "elitism": args.elitism,
-                            "mutations_per_child": args.mutations_per_child},
+                            "mutations_per_child": args.mutations_per_child,
+                            "mutation_weights": (
+                                [float(x) for x in
+                                 args.mutation_weights.split(",")]
+                                if args.mutation_weights else None)},
         max_generation=args.generations,
         clear_caches_every=args.clear_caches_every,
         seed=args.seed,

@@ -235,6 +235,7 @@ class Generation:
         # managed 5 in 20 generations at n=1)
         n_mut = max(1, int(self.evolution_property.get(
             "mutations_per_child", 1)))
+        mut_weights = self.evolution_property.get("mutation_weights")
         for name, soc in self.societies.items():
             ranked = sorted(
                 soc.individuals,
@@ -294,7 +295,7 @@ class Generation:
                         soc.fitness_func,
                     )
                     for _ in range(n_mut):
-                        child.mutate()
+                        child.mutate(weights=mut_weights)
                     offspring.append(child)
             soc.individuals = offspring
 

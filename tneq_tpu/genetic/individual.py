@@ -85,10 +85,28 @@ class Individual:
 
     # -- mutation (reference mpi_generation.py:154-210) -------------------
 
-    def mutate(self, max_tries: int = 100) -> "Individual":
+    def mutate(self, max_tries: int = 100, weights=None) -> "Individual":
         """One random structural mutation: bond flip, tensor insert, or
-        tensor removal on a random qubit, retried until one succeeds."""
-        op = int(self.rng.integers(0, 3))
+        tensor removal on a random qubit, retried until one succeeds.
+
+        ``weights``: optional (bond, insert, remove) operator probabilities
+        (normalized here).  The reference draws uniformly
+        (``mpi_generation.py:154-210``) — that is also the default — but a
+        RECOVERY search whose goal differs from the template only in bond
+        ranks moves an order of magnitude faster with bond-heavy weights
+        (insert mutations bloat expressivity without closing the planted
+        gap; measured in the r04 recovery runs, docs/ROUND4.md).
+        """
+        if weights is not None:
+            w = np.asarray(weights, np.float64)
+            if w.shape != (3,) or (w < 0).any() or w.sum() <= 0:
+                raise ValueError(
+                    "weights must be 3 non-negative numbers (bond, insert, "
+                    f"remove) with positive sum, got {weights!r}"
+                )
+            op = int(self.rng.choice(3, p=w / w.sum()))
+        else:
+            op = int(self.rng.integers(0, 3))
         for _ in range(max_tries):
             # re-draw the qubit every try: an invalid (qubit, op) pair —
             # e.g. removing from a single-tensor line — would otherwise
