@@ -44,17 +44,21 @@ def _bail(sig, frm):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--qubits", type=int, default=32)
-    ap.add_argument("--dim", type=int, default=256, help="MPS bond dim")
+    ap.add_argument("--dim", type=int, default=128, help="MPS bond dim")
     ap.add_argument("--plant", type=int, default=6,
                     help="planted transparent cores in the target")
-    ap.add_argument("--validate-steps", type=int, default=3000)
+    ap.add_argument("--validate-steps", type=int, default=8000)
     ap.add_argument("--prune-steps", type=int, default=2000)
     ap.add_argument("--validate-lr", type=float, default=3e-2)
     ap.add_argument("--prune-lr", type=float, default=1e-2)
     ap.add_argument("--optimizer", default="adam",
                     help="fit optimizer (Stiefel flow stalls on chains — "
                          "see SymmetryBreakingConfig.optimizer)")
-    ap.add_argument("--sync-every", type=int, default=16)
+    # chunk size = device steps per tunnel round-trip: at D>=128 a step is
+    # ~0.3-1 ms on device while a tunnel dispatch costs ~150 ms, so small
+    # chunks leave the run ROUND-TRIP BOUND (measured: sync 16 -> 106
+    # steps/s at D=256 where the device pace is >1000/s)
+    ap.add_argument("--sync-every", type=int, default=128)
     ap.add_argument("--jit-scope", default="chunk",
                     choices=["fit", "step", "chunk"])
     ap.add_argument("--precision", default="default",
