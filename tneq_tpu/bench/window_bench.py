@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import signal
 import sys
 import time
@@ -48,16 +49,20 @@ def main(argv=None) -> int:
                     help="seconds to wait on the first (handshake) fetch")
     args = ap.parse_args(argv)
 
-    import atexit
+    if os.environ.get("TNEQ_PLATFORM") != "cpu":
+        # a CPU-forced run never touches the tunnel: no lock needed (and
+        # taking one would false-BUSY against a live TPU client — seen as
+        # a suite failure while a probe was running, docs/ROUND4.md)
+        import atexit
 
-    from ._tpulock import TpuBusy, acquire
+        from ._tpulock import TpuBusy, acquire
 
-    try:
-        release = acquire("window_bench")
-    except TpuBusy as e:
-        log(f"TPU channel BUSY: {e} — refusing a second client")
-        return 2
-    atexit.register(release)
+        try:
+            release = acquire("window_bench")
+        except TpuBusy as e:
+            log(f"TPU channel BUSY: {e} — refusing a second client")
+            return 2
+        atexit.register(release)
 
     import jax
     import jax.numpy as jnp
