@@ -47,18 +47,24 @@ def main(argv=None) -> int:
     ap.add_argument("--dim", type=int, default=128, help="MPS bond dim")
     ap.add_argument("--plant", type=int, default=6,
                     help="planted transparent cores in the target")
-    ap.add_argument("--validate-steps", type=int, default=8000)
+    ap.add_argument("--validate-steps", type=int, default=16000)
     ap.add_argument("--prune-steps", type=int, default=2000)
+    ap.add_argument("--lr-decay", type=float, default=0.1,
+                    help="cosine-decay the validate lr to this fraction "
+                         "over validate-steps (adam at a fixed 3e-2 "
+                         "plateaued at F~0.97 on the 32q D=128 validate; "
+                         "0 disables)")
     ap.add_argument("--validate-lr", type=float, default=3e-2)
     ap.add_argument("--prune-lr", type=float, default=1e-2)
     ap.add_argument("--optimizer", default="adam",
                     help="fit optimizer (Stiefel flow stalls on chains — "
                          "see SymmetryBreakingConfig.optimizer)")
     # chunk size = device steps per tunnel round-trip: at D>=128 a step is
-    # ~0.3-1 ms on device while a tunnel dispatch costs ~150 ms, so small
-    # chunks leave the run ROUND-TRIP BOUND (measured: sync 16 -> 106
-    # steps/s at D=256 where the device pace is >1000/s)
-    ap.add_argument("--sync-every", type=int, default=128)
+    # ~0.3-1 ms on device while a tunnel dispatch costs ~0.2-0.4 s, so
+    # small chunks leave the run ROUND-TRIP BOUND (measured: sync 16 ->
+    # 106 steps/s at D=256, sync 128 -> 298-624 steps/s at D=128, where
+    # the device pace is >3000/s)
+    ap.add_argument("--sync-every", type=int, default=1024)
     ap.add_argument("--jit-scope", default="chunk",
                     choices=["fit", "step", "chunk"])
     ap.add_argument("--precision", default="default",
@@ -108,6 +114,16 @@ def main(argv=None) -> int:
         practical_utilization,
     )
 
+    if args.lr_decay and args.optimizer != "sgdg":
+        import optax
+
+        validate_lr = optax.cosine_decay_schedule(
+            init_value=args.validate_lr,
+            decay_steps=args.validate_steps,
+            alpha=args.lr_decay,
+        )
+    else:
+        validate_lr = args.validate_lr
     cfg = SymmetryBreakingConfig(
         n_qubits=args.qubits,
         rank=2,
@@ -115,7 +131,7 @@ def main(argv=None) -> int:
         bond_dim=args.dim,
         fidelity_mode="network",
         dtype=jnp.float32,
-        validate_lr=args.validate_lr,
+        validate_lr=validate_lr,
         validate_steps=args.validate_steps,
         prune_lr=args.prune_lr,
         prune_steps=args.prune_steps,
