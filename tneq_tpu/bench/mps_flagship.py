@@ -47,6 +47,16 @@ def main(argv=None) -> int:
     ap.add_argument("--dim", type=int, default=128, help="MPS bond dim")
     ap.add_argument("--plant", type=int, default=6,
                     help="planted transparent cores in the target")
+    ap.add_argument("--target-dim", type=int, default=32,
+                    help="entanglement of the planted target: a bond-Dt "
+                         "MPS zero-pad-embedded into the bond-D cores "
+                         "(same state, full-D compute). Fitting a RAW "
+                         "random bond-D target is gradient-hostile — "
+                         "fixed-lr adam stalled at F=0.966 and cosine-"
+                         "decayed adam at F=0.990 on 32q D=128 (16k "
+                         "steps) — while the overparameterized student "
+                         "fit of an embedded low-rank teacher converges; "
+                         "0 = raw full-D target")
     ap.add_argument("--validate-steps", type=int, default=16000)
     ap.add_argument("--prune-steps", type=int, default=2000)
     ap.add_argument("--lr-decay", type=float, default=0.1,
@@ -154,7 +164,23 @@ def main(argv=None) -> int:
 
     key = jax.random.PRNGKey(args.seed)
     key, k1, k2, k3 = jax.random.split(key, 4)
-    target = target_tensor_init(exp, planted, k1)
+    if args.target_dim and args.target_dim < args.dim:
+        from tneq_tpu.graph.generators import mps_graph
+        from tneq_tpu.graph.dsl import parse_graph
+        from tneq_tpu.model.qctn import init_params
+
+        small = parse_graph(mps_graph(args.qubits, args.target_dim, phys=2))
+        sp = init_params(small, k1, jnp.float32)
+        tp = {}
+        for big_c, small_c in zip(exp.graph.cores, small.cores):
+            arr = np.zeros(big_c.shape, np.float32)
+            arr[tuple(slice(0, d) for d in small_c.shape)] = np.asarray(
+                sp[small_c.name]
+            )
+            tp[big_c.name] = jnp.asarray(arr)
+        target = (tp, exp.mask_vector(planted))
+    else:
+        target = target_tensor_init(exp, planted, k1)
 
     t0 = time.time()
     ok, fid, steps, fitted = validate_target_tensor(
@@ -208,6 +234,7 @@ def main(argv=None) -> int:
         "practical_util": round(practical_utilization(tflops), 4),
         "n_cores": exp.graph.ncores,
         "n_maskable": len(candidates),
+        "target_dim": args.target_dim or args.dim,
         "planted": planted,
         "pruned": sorted(pruned),
         "pruned_count": len(pruned),
