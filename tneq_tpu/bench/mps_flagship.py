@@ -200,15 +200,19 @@ def main(argv=None) -> int:
         )
         prune_s = time.time() - t0
 
-    # sustained pace: one warm (compile-free) timed fit — the same program
-    # every pruning candidate ran — from a FRESH init (a converged start
-    # would exit after one chunk and time only dispatch latency)
+    # sustained pace: warm (compile-free) timed fits — the same program
+    # every pruning candidate ran — from FRESH inits (a converged start
+    # would exit after one chunk and time only dispatch latency); several
+    # back-to-back fits amortize the tunnel's per-dispatch latency jitter
     full_mask = exp.mask_vector([])
-    key, kt = jax.random.split(key)
-    t0 = time.time()
-    res = exp.run_fit(exp.prune_fit, exp.init_params(kt), full_mask, target)
-    warm_s = time.time() - t0
-    warm_steps = int(res.steps)
+    warm_steps, warm_s = 0, 0.0
+    for _ in range(4):
+        key, kt = jax.random.split(key)
+        t0 = time.time()
+        res = exp.run_fit(exp.prune_fit, exp.init_params(kt), full_mask,
+                          target)
+        warm_s += time.time() - t0
+        warm_steps += int(res.steps)
     warm_sps = warm_steps / warm_s if warm_s > 0 else 0.0
 
     fl = network_fidelity_step_flops(exp.graph, np.float32)
