@@ -106,6 +106,30 @@ class TestRunProtocol:
         assert len(state["runs"]) == 1
         assert len(state["failures"]) == 2
 
+    def test_deterministic_validation_failure_not_retried(self, tmp_path):
+        # a --regen-target child whose every validation failed is
+        # deterministic per (seed, restart): one failure record, no
+        # retries, later seeds still run
+        args = _args(tmp_path, restarts=2, retries=3, regen_target=True)
+        calls = []
+
+        def runner(cmd, timeout, env):
+            calls.append(cmd)
+            if len(calls) == 1:
+                rec = {"config": "pair-8q5c-pair", "validated": False,
+                       "restarts_run": 0, "pruned": 0, "pruned_list": [],
+                       "planted_mask": [0, 1, 2], "wall_s": 1.0}
+                return SimpleNamespace(
+                    returncode=0, stdout="RESULT " + json.dumps(rec) + "\n",
+                    stderr="", abandoned=False)
+            return _result(1, [1])
+
+        state = run_protocol(args, runner=runner)
+        assert len(calls) == 2          # seed 0 once (no retry), seed 1 once
+        assert len(state["failures"]) == 1
+        assert state["failures"][0]["outcome"].startswith("no restart ran")
+        assert [r["seed"] for r in state["runs"]] == [1]
+
     def test_abandoned_child_stops_everything(self, tmp_path):
         args = _args(tmp_path, restarts=3, retries=5)
         calls = []

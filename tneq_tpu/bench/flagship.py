@@ -145,9 +145,11 @@ def run_8q(args) -> dict:
         os.replace(tmp, a.target_cache)
         log(f"target cache written: {a.target_cache}")
 
-    def validated_target(key):
-        """Generate + validate a planted target (<=6 tries, like the
-        reference's regenerate-until-validated loop, train.py:53-58).
+    def validated_target(key, max_tries=6):
+        """Generate + validate a planted target (the reference's
+        regenerate-until-validated loop, train.py:53-58, is UNBOUNDED;
+        ``max_tries`` bounds it here because the key stream is
+        deterministic — a wall-bounded parent supplies the outer bound).
         Returns the evolved key so the caller's downstream randomness
         follows the same stream as the pre-refactor inline loop (the
         FLAGSHIP_r03 restarts were recorded under that convention)."""
@@ -162,7 +164,7 @@ def run_8q(args) -> dict:
             )
             log(f"validate try {tries}: fidelity={fid:.6f} steps={steps} "
                 f"ok={ok}")
-            if ok or tries >= 6:
+            if ok or tries >= max_tries:
                 return target, ok, fid, steps, fitted, time.time() - t0, key
 
     # reference protocol: multiple symmetry-breaking restarts keeping the
@@ -204,8 +206,13 @@ def run_8q(args) -> dict:
             tkey = jax.random.fold_in(
                 jax.random.PRNGKey(1), 1000 * args.seed + restart
             )
+            # the per-(seed, restart) key stream is deterministic, so a
+            # 6-try cap can permanently fail a seed the reference's
+            # unbounded loop would eventually validate; give the regen
+            # shape a deeper stream (observed: seed 7 fails 6/6 at
+            # F=0.75-0.997 against the 0.999 threshold)
             target, ok_r, fid_r, steps_r, fitted, v_s, _ = validated_target(
-                tkey
+                tkey, max_tries=18
             )
             validate_s += v_s
             validate_fids.append(float(fid_r))

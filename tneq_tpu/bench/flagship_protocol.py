@@ -257,12 +257,17 @@ def run_protocol(args, runner=None) -> dict:
                         # crashing the unattended multi-hour run
                         rec = None
                         outcome = f"rc={r.returncode} (malformed RESULT)"
+            deterministic_failure = False
             if rec is not None and rec.get("restarts_run") == 0:
                 # a --regen-target child whose every validation failed
                 # produced no restart: marking the seed done would poison
-                # the intersection analysis with an empty pruned set
+                # the intersection analysis with an empty pruned set.
+                # The regen key stream is per-(seed, restart)
+                # deterministic, so retrying re-runs the identical failing
+                # computation — record once and move on
                 rec = None
                 outcome = "no restart ran (all target validations failed)"
+                deterministic_failure = True
             if rec is not None:
                 rec["seed"] = seed
                 state["runs"].append(rec)
@@ -276,6 +281,11 @@ def run_protocol(args, runner=None) -> dict:
             log(f"restart seed={seed} attempt failed ({outcome})")
             state["failures"].append({"seed": seed, "outcome": outcome})
             _save_state(args.out, state)
+            if deterministic_failure:
+                log(f"restart seed={seed}: validation failure is "
+                    f"deterministic; not retrying")
+                prev_failed = False
+                break
             prev_failed = True
         if not landed:
             log(f"restart seed={seed}: no attempt landed; moving on")
