@@ -38,7 +38,10 @@ TORCH_STEPS = 10
 LR = 1e-3
 METRIC = f"network_fidelity_train_steps_per_sec_{N_QUBITS}q_dim{BOND_DIM}"
 
-CHILD_BUDGET_S = 560   # whole child attempt (first fetch has blocked ~450s)
+CHILD_BUDGET_S = 1100  # whole child attempt (first fetch has blocked 897s
+                       # and then SUCCEEDED in a degraded phase, 2026-08-19;
+                       # killing a slow-but-healthy first fetch wastes the
+                       # round's one driver-run measurement)
 TPU_ATTEMPTS = 3
 
 

@@ -45,8 +45,10 @@ def _alarm(secs: int):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--fetch-budget", type=int, default=330,
-                    help="seconds to wait on the first (handshake) fetch")
+    ap.add_argument("--fetch-budget", type=int, default=950,
+                    help="seconds to wait on the first (handshake) fetch "
+                         "(a degraded-phase first fetch has taken 897s and "
+                         "then succeeded, 2026-08-19)")
     args = ap.parse_args(argv)
 
     if os.environ.get("TNEQ_PLATFORM") != "cpu":
