@@ -249,35 +249,38 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    # if another TPU client is live (a forgotten protocol child, a probe),
-    # wait for it to finish rather than racing it onto the tunnel — the
-    # driver runs this unattended at round end
+    # if another TPU client is live (a protocol child, a probe), wait for
+    # it to finish rather than racing it onto the tunnel — the driver runs
+    # this unattended at round end, possibly while background experiment
+    # lanes are still mid-restart (one flagship restart holds the lock up
+    # to ~55 min), so busy-waits must not consume measurement attempts
     try:
         from tneq_tpu.bench._tpulock import holder
-
-        waited = 0
-        while holder() is not None and waited < 1500:
-            live = holder()
-            if live is None:
-                break
-            log(f"TPU channel held by pid={live.get('pid')} "
-                f"tag={live.get('tag')!r}; waiting ({waited}s)")
-            time.sleep(60)
-            waited += 60
     except ImportError:
-        pass
+        def holder():
+            return None
 
     jax_sps, device = None, None
-    for i in range(TPU_ATTEMPTS):
+    deadline = time.time() + 3900  # outlives one full protocol restart
+    attempts = 0
+    while attempts < TPU_ATTEMPTS and time.time() < deadline:
+        live = holder()
+        if live is not None:
+            log(f"TPU channel held by pid={live.get('pid')} "
+                f"tag={live.get('tag')!r}; waiting "
+                f"({int(deadline - time.time())}s left)")
+            time.sleep(60)
+            continue
         env = dict(os.environ)
-        if i == TPU_ATTEMPTS - 1:
+        if attempts == TPU_ATTEMPTS - 1:
             # safety net: if the fused Pallas chain path is what is
             # failing (remote-compile rejection, kernel fault), the last
             # attempt falls back to the XLA scan path rather than losing
             # the TPU entirely
             env["TNEQ_CHAIN_PALLAS"] = "0"
             log("(final attempt: fused chain kernel disabled)")
-        log(f"--- TPU attempt {i + 1}/{TPU_ATTEMPTS} (fresh subprocess) ---")
+        log(f"--- TPU attempt {attempts + 1}/{TPU_ATTEMPTS} "
+            f"(fresh subprocess) ---")
         # TERM-only bound: the child's alarm exits first unless it is
         # wedged in backend init (alarm-proof) — then the parent TERMs it;
         # subprocess.run(timeout=) would SIGKILL and wedge the tunnel
@@ -296,8 +299,16 @@ def main():
             log("child wedged and abandoned (still alive); no further "
                 "TPU attempts this run")
             break
+        if r.returncode == 4:
+            # lost the lock race to a client that appeared after our
+            # holder() check — a busy channel is not a failed measurement
+            log("child found the channel busy; waiting, not counting "
+                "an attempt")
+            time.sleep(60)
+            continue
         if r.returncode == -15:
             log("child exceeded its budget and died to SIGTERM")
+            attempts += 1
             continue
         for line in r.stdout.splitlines():
             if line.startswith("RESULT "):
@@ -305,6 +316,7 @@ def main():
                 jax_sps, device = d["sps"], d["device"]
         if jax_sps is not None:
             break
+        attempts += 1
         time.sleep(15)
 
     if jax_sps is None:
