@@ -22,7 +22,8 @@ import json
 import os
 import time
 
-__all__ = ["TpuBusy", "holder", "acquire", "guard", "LOCK_PATH"]
+__all__ = ["TpuBusy", "holder", "acquire", "guard", "register_cli",
+           "LOCK_PATH"]
 
 LOCK_PATH = "/tmp/tneq_tpu_client.lock"
 
@@ -131,3 +132,29 @@ def guard(tag: str):
         yield
     finally:
         release()
+
+
+def register_cli(tag: str):
+    """Register a TPU-touching CLI process for its whole lifetime.
+
+    No-op when the process is forced onto CPU (``TNEQ_PLATFORM=cpu``) — a
+    CPU run must not serialize against (or block) the real channel.  On a
+    live holder, prints a BUSY notice and exits with code 4 (the shared
+    busy-channel convention, see ``bench.py``): two clients on the tunnel
+    wedge it (CLAUDE.md serialize-TPU-access), so refusing is the only
+    safe behavior for an unattended lane item.  Release is atexit-hooked;
+    returns the release callable for early release.
+    """
+    import atexit
+    import sys
+
+    if os.environ.get("TNEQ_PLATFORM", "").lower() == "cpu":
+        return lambda: None
+    try:
+        release = acquire(tag)
+    except TpuBusy as e:
+        print(f"TPU channel BUSY: {e} — refusing a second client",
+              file=sys.stderr, flush=True)
+        raise SystemExit(4)
+    atexit.register(release)
+    return release

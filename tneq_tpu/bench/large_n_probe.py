@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     import numpy as np
 
     import tneq_tpu  # noqa: F401  (honors TNEQ_PLATFORM before any device op)
+    from ._tpulock import register_cli
+
+    register_cli(f"large_n_probe q={args.qubits}")
     import jax
     import jax.numpy as jnp
 

@@ -103,6 +103,9 @@ def main(argv=None) -> int:
         # (the tests/conftest.py pattern, same as bench/flagship.py)
         os.environ["TNEQ_PLATFORM"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
+    from ._tpulock import register_cli
+
+    register_cli(f"mps_flagship q={args.qubits} D={args.dim}")
     import jax.numpy as jnp
 
     t0 = time.time()

@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     import numpy as np
 
     import tneq_tpu  # noqa: F401
+    from ._tpulock import register_cli
+
+    register_cli("pallas_decision")
     import jax
     import jax.numpy as jnp
 

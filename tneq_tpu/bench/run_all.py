@@ -67,6 +67,12 @@ def main(argv=None):
         print(f"no stages match {args.stages!r}; have {list(ALL_STAGES)}")
         return 1
 
+    # the suite's stages drive the real accelerator in-process: register
+    # on the channel lockfile so probes/bench report BUSY, not DOWN
+    from ._tpulock import register_cli
+
+    register_cli(f"bench-suite stages={args.stages}")
+
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     summary = []
@@ -89,7 +95,17 @@ def main(argv=None):
             "ok": rec.get("ok", False),
             **({"skipped": rec["skipped"]} if rec.get("skipped") else {}),
         })
-    (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+    # a subset run (--stages 6) merges into an existing summary rather than
+    # clobbering the full-suite record: update matching rows, keep the rest
+    summary_path = out_dir / "summary.json"
+    if args.stages != "all" and summary_path.exists():
+        try:
+            prior = {s["stage"]: s for s in json.loads(summary_path.read_text())}
+        except (ValueError, KeyError, TypeError):
+            prior = {}
+        prior.update({s["stage"]: s for s in summary})
+        summary = [prior[k] for k in ALL_STAGES if k in prior]
+    summary_path.write_text(json.dumps(summary, indent=2))
     n_ok = sum(s["ok"] for s in summary)
     print(f"{n_ok}/{len(summary)} stages ok; results in {out_dir}/")
     return 0 if n_ok == len(summary) else 2
