@@ -108,3 +108,60 @@ def test_axon_probe_reports_busy(lockpath):
     finally:
         child.terminate()
         child.wait()
+
+
+def test_register_cli_noop_on_cpu(lockpath, monkeypatch):
+    """A CPU-forced process must not serialize against the real channel."""
+    monkeypatch.setenv("TNEQ_PLATFORM", "cpu")
+    release = _tpulock.register_cli("cpu-run")
+    assert not os.path.exists(lockpath)
+    release()
+
+
+def test_register_cli_busy_exits_4(lockpath, monkeypatch):
+    """BUSY refusal uses the shared exit-code-4 convention (bench.py
+    treats 4 as 'busy, wait — not a failed attempt')."""
+    monkeypatch.delenv("TNEQ_PLATFORM", raising=False)
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        with open(lockpath, "w") as f:
+            json.dump({"pid": child.pid, "tag": "other", "started": 0}, f)
+        with pytest.raises(SystemExit) as exc:
+            _tpulock.register_cli("me")
+        assert exc.value.code == 4
+    finally:
+        child.terminate()
+        child.wait()
+
+
+def test_register_cli_acquires_and_releases(lockpath, monkeypatch):
+    monkeypatch.delenv("TNEQ_PLATFORM", raising=False)
+    release = _tpulock.register_cli("suite")
+    assert json.load(open(lockpath))["tag"] == "suite"
+    release()
+    assert not os.path.exists(lockpath)
+
+
+def test_run_all_subset_merges_into_existing_summary(tmp_path, monkeypatch):
+    """A --stages subset run updates matching rows of summary.json and
+    keeps the rest of the full-suite record (needed to re-run individual
+    stages that timed out)."""
+    from tneq_tpu.bench import run_all
+
+    monkeypatch.setenv("TNEQ_PLATFORM", "cpu")  # register_cli no-op
+    monkeypatch.setattr(run_all, "ALL_STAGES", {
+        "1_fake": lambda: {"ok": True},
+        "6_fake": lambda: {"ok": True},
+    })
+    out = tmp_path / "results"
+    out.mkdir()
+    (out / "summary.json").write_text(json.dumps([
+        {"stage": "1_fake", "ok": False},
+        {"stage": "6_fake", "ok": True},
+    ]))
+    rc = run_all.main(["--stages", "1", "--out", str(out), "--timeout", "30"])
+    assert rc == 0
+    rows = {r["stage"]: r for r in json.loads((out / "summary.json").read_text())}
+    assert rows["1_fake"]["ok"] is True   # re-run row updated
+    assert "6_fake" in rows               # untouched row preserved
