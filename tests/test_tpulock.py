@@ -165,3 +165,44 @@ def test_run_all_subset_merges_into_existing_summary(tmp_path, monkeypatch):
     rows = {r["stage"]: r for r in json.loads((out / "summary.json").read_text())}
     assert rows["1_fake"]["ok"] is True   # re-run row updated
     assert "6_fake" in rows               # untouched row preserved
+
+
+def test_run_all_isolated_merges_and_stops_on_abandoned(tmp_path, monkeypatch):
+    """--isolate spawns one child per stage; a busy child (rc 4) is retried,
+    a wedged-but-dead child gets a failure row, and an ABANDONED child (still
+    alive after TERMs, i.e. still owning the channel) stops the loop so TPU
+    access stays serialized."""
+    from types import SimpleNamespace
+
+    from tneq_tpu.bench import run_all
+    from tneq_tpu.bench import _subproc
+
+    monkeypatch.setattr(run_all, "ALL_STAGES", {
+        "1_fake": None, "2_fake": None, "3_fake": None,
+    })
+
+    out = tmp_path / "results"
+    out.mkdir()
+    calls = []
+
+    def fake_run(cmd, timeout, **kw):
+        stage = cmd[cmd.index("--stages") + 1]
+        calls.append(stage)
+        if stage == "1_fake":
+            # child does its own subset-merge, as the real child would
+            run_all._merge_summary_row(out, {"stage": "1_fake", "ok": True})
+            return SimpleNamespace(returncode=0, stdout="", abandoned=False)
+        # 2_fake: survives both TERMs -> abandoned, still owns the channel
+        return SimpleNamespace(returncode=-15, stdout="", abandoned=True)
+
+    monkeypatch.setattr(_subproc, "run_term_bounded", fake_run)
+    monkeypatch.setattr(run_all, "time", SimpleNamespace(sleep=lambda s: None))
+
+    rc = run_all.main(["--stages", "1,2,3", "--out", str(out),
+                       "--timeout", "30", "--isolate"])
+    assert rc == 2
+    assert calls == ["1_fake", "2_fake"]  # 3_fake never spawned
+    rows = {r["stage"]: r for r in json.loads((out / "summary.json").read_text())}
+    assert rows["1_fake"]["ok"] is True
+    assert rows["2_fake"]["ok"] is False
+    assert "3_fake" not in rows
