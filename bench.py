@@ -255,15 +255,34 @@ def main():
     # lanes are still mid-restart (one flagship restart holds the lock up
     # to ~55 min), so busy-waits must not consume measurement attempts
     try:
-        from tneq_tpu.bench._tpulock import holder
+        from tneq_tpu.bench._tpulock import (
+            clear_priority, holder, request_priority,
+        )
     except ImportError:
         def holder():
             return None
 
+        def request_priority(tag):
+            return None
+
+        def clear_priority():
+            return None
+
+    # post the bench-priority flag IMMEDIATELY (and refresh it every poll):
+    # cooperating lane drivers (flagship_protocol, run_all --isolate,
+    # register_cli'd one-shots) finish their in-flight child and pause
+    # instead of spawning the next one — without this, back-to-back
+    # restarts can hold the channel past any reasonable wait deadline and
+    # this run would record a CPU fallback as the round's number
+    request_priority("bench.py driver run")
+
     jax_sps, device = None, None
-    deadline = time.time() + 3900  # outlives one full protocol restart
+    # deadline must outlive one full protocol restart: a flagship child
+    # runs with --budget up to 5400s and only yields BETWEEN children
+    deadline = time.time() + 6000
     attempts = 0
     while attempts < TPU_ATTEMPTS and time.time() < deadline:
+        request_priority("bench.py driver run")  # keep the flag fresh
         live = holder()
         if live is not None:
             log(f"TPU channel held by pid={live.get('pid')} "
@@ -272,6 +291,8 @@ def main():
             time.sleep(60)
             continue
         env = dict(os.environ)
+        # our own measurement children must not refuse on our flag
+        env["TNEQ_TPU_PRIORITY_OK"] = "1"
         if attempts == TPU_ATTEMPTS - 1:
             # safety net: if the fused Pallas chain path is what is
             # failing (remote-compile rejection, kernel fault), the last
@@ -318,6 +339,9 @@ def main():
             break
         attempts += 1
         time.sleep(15)
+
+    # release the lanes before the (channel-free) CPU fallback / reporting
+    clear_priority()
 
     if jax_sps is None:
         log("accelerator unreachable; measuring on the CPU backend")

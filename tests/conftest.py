@@ -8,6 +8,15 @@ env var alone is not enough — we must update the jax config explicitly.
 """
 
 import os
+import tempfile
+
+# isolate the advisory TPU-channel lockfile and bench-priority flag: tests
+# exercising register_cli/acquire in-process must never see (or clear!) the
+# REAL /tmp lock held by a live background lane on this host
+_lockdir = tempfile.mkdtemp(prefix="tneq_test_locks_")
+os.environ.setdefault("TNEQ_TPU_LOCK_PATH", os.path.join(_lockdir, "tpu.lock"))
+os.environ.setdefault(
+    "TNEQ_TPU_PRIORITY_PATH", os.path.join(_lockdir, "bench_priority.flag"))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -206,3 +206,107 @@ def test_run_all_isolated_merges_and_stops_on_abandoned(tmp_path, monkeypatch):
     assert rows["1_fake"]["ok"] is True
     assert rows["2_fake"]["ok"] is False
     assert "3_fake" not in rows
+
+
+@pytest.fixture
+def priopath(tmp_path, monkeypatch):
+    path = str(tmp_path / "bench_priority.flag")
+    monkeypatch.setenv("TNEQ_TPU_PRIORITY_PATH", path)
+    monkeypatch.delenv("TNEQ_TPU_PRIORITY_OK", raising=False)
+    return path
+
+
+def _post_foreign_priority(path, pid, age_s=0.0):
+    import time as _time
+    with open(path, "w") as f:
+        json.dump({"pid": pid, "tag": "bench.py driver run",
+                   "ts": _time.time() - age_s}, f)
+
+
+def test_priority_roundtrip_and_own_pid_invisible(priopath):
+    assert _tpulock.priority_requested() is None
+    _tpulock.request_priority("bench")
+    # the requester itself (and its measurement children) must not block
+    assert _tpulock.priority_requested() is None
+    _tpulock.clear_priority()
+    assert not os.path.exists(priopath)
+
+
+def test_priority_visible_to_other_process_and_ok_env(priopath, monkeypatch):
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        _post_foreign_priority(priopath, child.pid)
+        prio = _tpulock.priority_requested()
+        assert prio is not None and prio["pid"] == child.pid
+        # bench.py marks its own children: they bypass the flag
+        monkeypatch.setenv("TNEQ_TPU_PRIORITY_OK", "1")
+        assert _tpulock.priority_requested() is None
+    finally:
+        child.terminate()
+        child.wait()
+
+
+def test_priority_stale_flags_are_cleared(priopath):
+    # dead requester pid
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    _post_foreign_priority(priopath, child.pid)
+    assert _tpulock.priority_requested() is None
+    assert not os.path.exists(priopath)
+    # live pid but unrefreshed flag (crashed mid-poll)
+    child2 = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(60)"])
+    try:
+        _post_foreign_priority(priopath, child2.pid,
+                               age_s=_tpulock.PRIORITY_MAX_AGE_S + 10)
+        assert _tpulock.priority_requested() is None
+        assert not os.path.exists(priopath)
+    finally:
+        child2.terminate()
+        child2.wait()
+
+
+def test_register_cli_yields_to_bench_priority(lockpath, priopath, monkeypatch):
+    """A one-shot lane item (mps_flagship, large_n_probe, a suite stage)
+    must refuse to START new TPU work while bench.py holds priority —
+    exit 4, the shared busy convention."""
+    monkeypatch.delenv("TNEQ_PLATFORM", raising=False)
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        _post_foreign_priority(priopath, child.pid)
+        with pytest.raises(SystemExit) as exc:
+            _tpulock.register_cli("lane-item")
+        assert exc.value.code == 4
+        assert not os.path.exists(lockpath)  # never acquired
+    finally:
+        child.terminate()
+        child.wait()
+
+
+def test_protocol_driver_yields_to_bench_priority(priopath, monkeypatch):
+    """flagship_protocol pauses BETWEEN children while the flag is fresh
+    and resumes when it clears; a deadline expiry while waiting stops the
+    run as wall-budget-exhausted."""
+    from types import SimpleNamespace
+
+    from tneq_tpu.bench import flagship_protocol as fp
+
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        _post_foreign_priority(priopath, child.pid)
+        args = SimpleNamespace(cpu=False)
+        # flag clears after the first wait tick -> resume (returns False)
+        monkeypatch.setattr(fp.time, "sleep", lambda s: os.unlink(priopath))
+        assert fp._yield_to_bench(args, deadline=None) is False
+        # fresh flag + expired deadline -> True (stop the run)
+        _post_foreign_priority(priopath, child.pid)
+        import time as _time
+        assert fp._yield_to_bench(args, _time.time() - 1) is True
+        # CPU protocols never pause
+        assert fp._yield_to_bench(SimpleNamespace(cpu=True), None) is False
+    finally:
+        child.terminate()
+        child.wait()

@@ -23,13 +23,23 @@ import os
 import time
 
 __all__ = ["TpuBusy", "holder", "acquire", "guard", "register_cli",
-           "LOCK_PATH"]
+           "LOCK_PATH", "PRIORITY_PATH", "request_priority",
+           "clear_priority", "priority_requested"]
 
 LOCK_PATH = "/tmp/tneq_tpu_client.lock"
+PRIORITY_PATH = "/tmp/tneq_tpu_bench_priority.flag"
+
+# a live requester refreshes the flag every poll (~60s); anything older
+# than this is a crashed requester and must not stall the lanes
+PRIORITY_MAX_AGE_S = 900
 
 
 def _path() -> str:
     return os.environ.get("TNEQ_TPU_LOCK_PATH", LOCK_PATH)
+
+
+def _prio_path() -> str:
+    return os.environ.get("TNEQ_TPU_PRIORITY_PATH", PRIORITY_PATH)
 
 
 def _enabled() -> bool:
@@ -124,6 +134,66 @@ def acquire(tag: str):
     return release
 
 
+def request_priority(tag: str) -> None:
+    """Post (or refresh) the bench-priority flag.
+
+    The round-end driver runs ``bench.py`` while background lanes
+    (protocol drivers, the isolated suite) may hold the channel
+    back-to-back for hours; without a yield signal the bench would wait
+    out its deadline and record a CPU fallback as the round's number.
+    A fresh flag tells cooperating lane drivers: finish the in-flight
+    child, then PAUSE before spawning the next one.  Call again every
+    poll to keep the flag fresh (staleness bound ``PRIORITY_MAX_AGE_S``).
+    """
+    tmp = f"{_prio_path()}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"pid": os.getpid(), "tag": tag, "ts": time.time()}, f)
+    os.replace(tmp, _prio_path())
+
+
+def clear_priority() -> None:
+    """Remove the bench-priority flag if this process posted it."""
+    path = _prio_path()
+    try:
+        with open(path) as f:
+            info = json.load(f)
+        if int(info.get("pid", -1)) == os.getpid():
+            os.unlink(path)
+    except (OSError, ValueError, TypeError):
+        pass
+
+
+def priority_requested() -> dict | None:
+    """Info dict of a LIVE, FRESH bench-priority request, else None.
+
+    Stale flags (dead requester pid, or not refreshed within
+    ``PRIORITY_MAX_AGE_S``) are removed as a side effect — a crashed
+    bench must not stall the lanes.  The requester's own process (and
+    children it marks with ``TNEQ_TPU_PRIORITY_OK=1``) see None so the
+    bench's measurement children are never blocked by their own flag.
+    """
+    path = _prio_path()
+    if os.environ.get("TNEQ_TPU_PRIORITY_OK", "") == "1":
+        return None
+    try:
+        with open(path) as f:
+            info = json.load(f)
+        pid = int(info["pid"])
+        ts = float(info["ts"])
+    except (OSError, ValueError, KeyError, TypeError):
+        with contextlib.suppress(OSError):
+            if os.path.exists(path):
+                os.unlink(path)
+        return None
+    if pid == os.getpid():
+        return None
+    if not _pid_alive(pid) or time.time() - ts > PRIORITY_MAX_AGE_S:
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+        return None
+    return info
+
+
 @contextlib.contextmanager
 def guard(tag: str):
     """Context manager around :func:`acquire`."""
@@ -150,6 +220,12 @@ def register_cli(tag: str):
 
     if os.environ.get("TNEQ_PLATFORM", "").lower() == "cpu":
         return lambda: None
+    prio = priority_requested()
+    if prio is not None:
+        print(f"TPU channel YIELDED: bench priority requested by "
+              f"pid={prio.get('pid')} tag={prio.get('tag')!r} — "
+              f"refusing to start new TPU work", file=sys.stderr, flush=True)
+        raise SystemExit(4)
     try:
         release = acquire(tag)
     except TpuBusy as e:

@@ -42,6 +42,34 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _yield_to_bench(args, deadline) -> bool:
+    """Pause while a live bench-priority request is posted.
+
+    The round-end driver's ``bench.py`` run must not starve behind this
+    driver's back-to-back restarts (each can hold the channel ~an hour);
+    ``bench.py`` posts the flag, we finish the in-flight child and wait
+    here before spawning the next one.  CPU-forced protocols never touch
+    the channel and never pause.  Returns True if the wall deadline
+    expired while waiting.
+    """
+    if args.cpu:
+        return False
+    from ._tpulock import priority_requested
+
+    notified = False
+    while True:
+        prio = priority_requested()
+        if prio is None:
+            return False
+        if deadline and time.time() > deadline:
+            return True
+        if not notified:
+            log(f"bench priority posted (pid={prio.get('pid')} "
+                f"tag={prio.get('tag')!r}); pausing before the next child")
+            notified = True
+        time.sleep(30)
+
+
 def protocol_analysis(runs: list, planted=None) -> dict:
     """Solution-family analysis over per-restart RESULT records.
 
@@ -226,6 +254,9 @@ def run_protocol(args, runner=None) -> dict:
                 # minutes to come back; CLAUDE.md)
                 log(f"waiting {args.retry_wait}s before the next attempt")
                 time.sleep(args.retry_wait)
+            if _yield_to_bench(args, deadline):
+                state["wall_budget_exhausted"] = True
+                break
             log(f"--- restart seed={seed} attempt {attempt + 1}/"
                 f"{1 + args.retries} ---")
             env = dict(os.environ)
@@ -245,6 +276,16 @@ def run_protocol(args, runner=None) -> dict:
                 state["stopped_on_abandoned_child"] = True
                 _save_state(args.out, state)
                 return state
+            if r.returncode == 4:
+                # the child refused to start (channel busy, or yielded to
+                # a bench-priority flag posted after our top-of-loop
+                # check) — nothing ran, so this is not a failed
+                # measurement; wait and re-enter the attempt loop, whose
+                # yield wait absorbs a posted priority flag
+                log("child refused to start (channel busy/yielded); "
+                    "not recording a failure")
+                time.sleep(30)
+                continue
             rec = None
             outcome = f"rc={r.returncode}"
             for line in r.stdout.splitlines():

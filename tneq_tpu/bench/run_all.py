@@ -58,11 +58,21 @@ def _run_isolated(selected, out_dir: Path, timeout_s: int) -> int:
     wedges the tunnel.  A child that finds the channel busy (exit 4) gets
     one retry after a minute."""
     from ._subproc import run_term_bounded
+    from ._tpulock import priority_requested
 
     # budget must cover a patient first fetch (has blocked ~900s and then
     # succeeded) on top of the stage's own alarm
     child_timeout = timeout_s + 1000
     for name in selected:
+        notified = False
+        while priority_requested() is not None:
+            # the round-end bench.py run posted its priority flag: let it
+            # have the channel before we spawn the next stage child
+            if not notified:
+                print("  bench priority posted; pausing between stages",
+                      flush=True)
+                notified = True
+            time.sleep(30)
         print(f"=== {name} (isolated) ===", flush=True)
         for attempt in range(2):
             r = run_term_bounded(
