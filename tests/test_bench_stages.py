@@ -48,9 +48,11 @@ def test_tn_workload_small():
     assert rec["grad_steps_per_sec"] > 0
 
 
-def test_run_all_cli(tmp_path, capsys):
+def test_run_all_cli(tmp_path, capsys, monkeypatch):
     from tneq_tpu.bench.run_all import main
 
+    # hermetic lock path: never collide with any other holder, real or test
+    monkeypatch.setenv("TNEQ_TPU_LOCK_PATH", str(tmp_path / "tpu.lock"))
     rc = main(["--stages", "1", "--out", str(tmp_path), "--timeout", "60"])
     assert rc == 0
     summary = json.loads((tmp_path / "summary.json").read_text())
