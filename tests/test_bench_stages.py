@@ -168,3 +168,66 @@ class TestRunTermBounded:
             timeout=60, capture_stderr=True,
         )
         assert r.stderr == "oops"
+
+
+class TestBatchedCompare:
+    def _args(self, **over):
+        import argparse
+
+        base = dict(mode="pair", seed=0, validate_steps=3, prune_steps=2,
+                    lane_chunk=2, max_outer=1, sync_every=2,
+                    jit_scope="chunk", budget=60, target_cache=None,
+                    cpu=True, out=None)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    def test_run_flagship_uses_child_cmd(self, monkeypatch):
+        """The child command comes from flagship.child_cmd (single source
+        of truth) and a RESULT line is parsed into the record."""
+        from types import SimpleNamespace
+
+        import tneq_tpu.bench.batched_compare as bc
+
+        seen = {}
+
+        def fake_run(cmd, timeout, env):
+            seen["cmd"] = cmd
+            return SimpleNamespace(
+                returncode=0,
+                stdout='RESULT {"pruned_list": [1, 2], "device": "cpu"}\n')
+
+        monkeypatch.setattr("tneq_tpu.bench._subproc.run_term_bounded",
+                            fake_run)
+        rec = bc._run_flagship(self._args(), batched=True)
+        assert rec["pruned_list"] == [1, 2] and "_wall_s" in rec
+        assert "--attempt" in seen["cmd"] and "--batched" in seen["cmd"]
+        assert "--restarts" in seen["cmd"]
+        assert seen["cmd"][seen["cmd"].index("--restarts") + 1] == "1"
+
+    def test_run_flagship_rejects_failure_record(self, monkeypatch):
+        """A child failure JSON (no pruned_list) raises instead of
+        propagating a KeyError later in the comparison."""
+        import pytest
+        from types import SimpleNamespace
+
+        import tneq_tpu.bench.batched_compare as bc
+
+        monkeypatch.setattr(
+            "tneq_tpu.bench._subproc.run_term_bounded",
+            lambda cmd, timeout, env: SimpleNamespace(
+                returncode=1, stdout='RESULT {"ok": false, "rc": 1}\n'))
+        with pytest.raises(RuntimeError, match="without a pruned_list"):
+            bc._run_flagship(self._args(), batched=False)
+
+    def test_run_flagship_no_result(self, monkeypatch):
+        import pytest
+        from types import SimpleNamespace
+
+        import tneq_tpu.bench.batched_compare as bc
+
+        monkeypatch.setattr(
+            "tneq_tpu.bench._subproc.run_term_bounded",
+            lambda cmd, timeout, env: SimpleNamespace(
+                returncode=-15, stdout=""))
+        with pytest.raises(RuntimeError, match="produced no result"):
+            bc._run_flagship(self._args(), batched=False)

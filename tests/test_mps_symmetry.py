@@ -48,10 +48,37 @@ class TestTransparentCores:
         np.testing.assert_array_equal(np.asarray(mid), expect)
 
     def test_square_bond_mps_fully_maskable(self):
-        # D == phys: even boundary cores pair (first-equal-rank matching)
+        # D == phys, pairing='auto': every core pairs positionally
+        # (removal/rewire semantics — bond may route onto a phys leg)
         g = parse_graph(mps_graph(5, 2, phys=2))
         _, unmask = transparent_cores(g, jnp.float32)
         assert unmask == ()
+
+    def test_kind_pairing_consistent_at_square_bond(self):
+        """pairing='kind' keeps trivial-site semantics at D == phys: the
+        interior tensor is bond→bond ⊗ phys→phys (NOT the positional
+        bond→phys rewiring 'auto' silently switches to), and boundary
+        cores stay structurally unmaskable exactly as at D != phys."""
+        g = parse_graph(mps_graph(5, 2, phys=2))
+        trans, unmask = transparent_cores(g, jnp.float32, pairing="kind")
+        assert set(unmask) == {0, g.ncores - 1}
+        expect = np.einsum("ad,bc->abcd", np.eye(2), np.eye(2))
+        for name in g.core_names[1:-1]:
+            np.testing.assert_array_equal(np.asarray(trans[name]), expect)
+        # and 'auto' genuinely differs there (the documented foot-gun)
+        auto, _ = transparent_cores(g, jnp.float32)
+        assert not np.array_equal(np.asarray(auto[g.core_names[1]]), expect)
+
+    def test_kind_pairing_matches_auto_at_wide_bond(self):
+        # D != phys: 'kind' and 'auto' agree on every maskable core (the
+        # landed MPS artifacts used the 'auto' fallback == kind pairing)
+        g = parse_graph(mps_graph(6, 4, phys=2))
+        a, ua = transparent_cores(g, jnp.float32)
+        k, uk = transparent_cores(g, jnp.float32, pairing="kind")
+        assert ua == uk
+        for name in g.core_names:
+            np.testing.assert_array_equal(np.asarray(a[name]),
+                                          np.asarray(k[name]))
 
     def test_masked_core_is_contraction_transparent(self):
         """Substituting the transparent core equals deleting the site:

@@ -135,7 +135,11 @@ class Experiment:
             self.graph = parse_graph(
                 mps_graph(cfg.n_qubits, cfg.bond_dim, phys=cfg.rank)
             )
-            identities, unmask = transparent_cores(self.graph, cfg.dtype)
+            # pairing='kind' pins bond→bond ⊗ phys→phys (trivial-site)
+            # semantics at EVERY bond_dim, including bond_dim == rank
+            # where 'auto' would silently switch to bond→phys rewiring
+            identities, unmask = transparent_cores(
+                self.graph, cfg.dtype, pairing="kind")
             self.unmaskable = frozenset(unmask)
         elif cfg.topology == "brick":
             self.incidence = build_brick_wall_incidence(

@@ -29,9 +29,14 @@ __all__ = ["TpuBusy", "holder", "acquire", "guard", "register_cli",
 LOCK_PATH = "/tmp/tneq_tpu_client.lock"
 PRIORITY_PATH = "/tmp/tneq_tpu_bench_priority.flag"
 
-# a live requester refreshes the flag every poll (~60s); anything older
-# than this is a crashed requester and must not stall the lanes
-PRIORITY_MAX_AGE_S = 900
+# a live requester refreshes the flag every poll (~60s) while WAITING,
+# but goes silent for one whole measurement-child window while blocked in
+# run_term_bounded — bench.py's bound is CHILD_BUDGET_S+120 = 1220s plus
+# the TERM grace (~180s), so the staleness bound must exceed ~1400s or
+# lane drivers delete the flag mid-measurement and spawn TPU children
+# straight into the bench's client.  Anything older than this is a
+# crashed/hung requester and must not stall the lanes.
+PRIORITY_MAX_AGE_S = 2100
 
 
 def _path() -> str:

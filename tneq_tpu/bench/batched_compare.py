@@ -33,42 +33,35 @@ import time
 
 
 def _run_flagship(args, batched: bool) -> dict:
-    cmd = [
-        sys.executable, "-m", "tneq_tpu.bench.flagship",
-        "--mode", args.mode,
-        "--validate-steps", str(args.validate_steps),
-        "--prune-steps", str(args.prune_steps),
-        "--lane-chunk", str(args.lane_chunk),
-        "--max-outer", str(args.max_outer),
-        "--restarts", "1",
-        "--seed", str(args.seed),
-        "--sync-every", str(args.sync_every),
-        "--budget", str(args.budget),
-        "--jit-scope", args.jit_scope,
-    ]
-    if batched:
-        cmd.append("--batched")
-    if args.target_cache:
-        cmd += ["--target-cache", args.target_cache]
-    if args.cpu:
-        cmd.append("--cpu")
+    # build the child command via flagship.child_cmd — the declared single
+    # source of truth — so new result-affecting flagship flags cannot
+    # silently drift between the protocol drivers and this comparison
+    from .flagship import child_cmd
+
+    child_args = argparse.Namespace(
+        **vars(args), batched=batched, regen_target=False)
+    cmd = child_cmd(child_args, restarts=1)
     env = dict(os.environ)
     if args.cpu:
         env["TNEQ_PLATFORM"] = "cpu"
     from ._subproc import run_term_bounded
 
+    label = "batched" if batched else "sequential"
     t0 = time.time()
     r = run_term_bounded(cmd, timeout=args.budget + 180, env=env)
     wall = time.time() - t0
     for line in r.stdout.splitlines():
         line = line.strip()
-        if line.startswith("{"):
-            rec = json.loads(line)
+        if line.startswith("RESULT "):
+            rec = json.loads(line[len("RESULT "):])
+            if "pruned_list" not in rec:
+                raise RuntimeError(
+                    f"flagship ({label}) returned a result without a "
+                    f"pruned_list (rc={r.returncode}): {rec}")
             rec["_wall_s"] = round(wall, 1)
             return rec
     raise RuntimeError(
-        f"flagship ({'batched' if batched else 'sequential'}) produced no "
-        f"result (rc={r.returncode})"
+        f"flagship ({label}) produced no result (rc={r.returncode})"
     )
 
 

@@ -401,8 +401,11 @@ def attempt(args) -> int:
             release = acquire(f"flagship-attempt mode={args.mode} "
                               f"seed={args.seed}")
         except TpuBusy as e:
+            # exit 4 = the shared busy-channel convention (bench.py,
+            # register_cli, flagship_protocol's rc==4 handler): a busy
+            # channel is a retryable non-start, NOT a failed measurement
             log(f"TPU channel BUSY: {e} — refusing a second client")
-            return 3
+            return 4
         atexit.register(release)
     try:
         _alarm(args.budget)

@@ -58,31 +58,73 @@ def identity_cores(graph: CircuitGraph, dtype=jnp.complex64):
     return out
 
 
-def transparent_cores(graph: CircuitGraph, dtype=jnp.complex64):
+def _pair_by_kind(core) -> list:
+    """Kind-preserving leg pairing: interior (bond, ``neighbor >= 0``) in
+    legs pair only with interior out legs, boundary (``neighbor == -1``)
+    only with boundary, equal rank required, same qubit preferred within a
+    kind.  Returns ``[]`` when no complete pairing exists."""
+    n_in, n_out = len(core.in_edges), len(core.out_edges)
+    if n_in != n_out:
+        return []
+    pairs, used = [], set()
+    for i, e_in in enumerate(core.in_edges):
+        kind_in = e_in.neighbor >= 0
+        candidates = [
+            j for j, e_out in enumerate(core.out_edges)
+            if j not in used and e_out.rank == e_in.rank
+            and (e_out.neighbor >= 0) == kind_in
+        ]
+        if not candidates:
+            return []
+        j = min(candidates,
+                key=lambda j: (core.out_edges[j].qubit != e_in.qubit, j))
+        used.add(j)
+        pairs.append((i, j))
+    return pairs
+
+
+def transparent_cores(graph: CircuitGraph, dtype=jnp.complex64, *,
+                      pairing: str = "auto"):
     """Pass-through ("transparent") identity cores for GENERAL core shapes.
 
     A core is transparent-maskable when its input legs pair one-to-one with
     equal-rank output legs; the transparent core is the product of Kronecker
-    deltas over those pairs.  Pairing prefers the same leg position (for
-    gate-style cores — every brick-wall core — this reproduces
-    :func:`identity_cores` exactly: each qubit line passes straight
-    through), then falls back to first-equal-rank matching, which covers
-    MPS-chain interior cores ``[D, p, p, D]``: bond→bond + phys→phys, so a
-    masked core contracts away and the chain behaves as if the site were
-    trivial.
+    deltas over those pairs.  ``pairing`` selects the leg-pairing semantics:
 
-    Returns ``(idents, unmaskable)``: cores with no perfect pairing (e.g.
-    MPS boundary cores, whose output carries a bond the input lacks) get
+    - ``'auto'`` (default, gate-style graphs): prefer positional pairing
+      (leg k in == leg k out — for every brick-wall core this reproduces
+      :func:`identity_cores` exactly: each qubit line passes straight
+      through), falling back to first-equal-rank matching.  CAUTION: on
+      chain cores whose bond rank equals the physical rank, the positional
+      branch pairs bond→phys (removal/rewire semantics), while at any
+      other bond rank the fallback pairs bond→bond (trivial-site
+      semantics) — a silent semantics switch across a D sweep.  Chain
+      experiments must pass ``pairing='kind'``.
+    - ``'kind'`` (chain/MPS graphs): interior legs (``neighbor >= 0``,
+      i.e. core-core bonds) pair only with interior legs and boundary
+      legs only with boundary legs, equal rank required, same qubit
+      preferred.  For an MPS interior core ``[D, p, p, D]`` this is
+      bond→bond ⊗ phys→phys at EVERY ``D`` (including ``D == p``): a
+      masked core contracts away and the chain behaves as if the site
+      were trivial.  MPS boundary cores (whose output carries a bond the
+      input lacks) never pair — they are structurally unmaskable.
+
+    Returns ``(idents, unmaskable)``: cores with no perfect pairing get
     ZERO tensors — masking one zeroes every overlap (fidelity → 0, never
     accepted by the pruning rule), a fail-safe — and their indices are
     listed in ``unmaskable``; experiment drivers must exclude them from
     candidate and planted masks.
     """
+    if pairing not in ("auto", "kind"):
+        raise ValueError(f"unknown pairing {pairing!r} "
+                         "(expected 'auto' or 'kind')")
     idents, unmaskable = {}, []
     for core in graph.cores:
         n_in, n_out = len(core.in_edges), len(core.out_edges)
         pairs, used = [], set()
-        if n_in == n_out:
+        if pairing == "kind":
+            pairs = _pair_by_kind(core)
+        elif n_in == n_out:
             # prefer positional pairing (gate semantics: leg k in == leg k
             # out on the same qubit line)
             if all(core.in_edges[k].rank == core.out_edges[k].rank
