@@ -155,10 +155,16 @@ def stage_checkpoint_io(tmpdir: Optional[str] = None, size_mb: int = 64, **_) ->
     from ..utils.checkpoint import CheckpointManager
 
     d = tmpdir or tempfile.mkdtemp()
-    n = size_mb * 1024 * 1024 // 8  # complex64
+    # the stage measures DISK throughput; dtype is incidental.  complex64
+    # exercises the real/imag split path on CPU, but is entirely
+    # unsupported by the axon TPU tunnel (CLAUDE.md: any c64 op fails
+    # UNIMPLEMENTED) — accelerators measure the same bytes as float32.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    dtype, elt = (jnp.complex64, 8) if on_cpu else (jnp.float32, 4)
+    n = size_mb * 1024 * 1024 // elt
     params = {
-        "a": jnp.ones((n // 2,), jnp.complex64),
-        "b": jnp.ones((n // 2,), jnp.complex64),
+        "a": jnp.ones((n // 2,), dtype),
+        "b": jnp.ones((n // 2,), dtype),
     }
     mgr = CheckpointManager(d, keep=1)
     t0 = time.perf_counter()
@@ -170,6 +176,7 @@ def stage_checkpoint_io(tmpdir: Optional[str] = None, size_mb: int = 64, **_) ->
     return {
         "stage": "checkpoint_io",
         "size_mb": size_mb,
+        "dtype": jnp.dtype(dtype).name,
         "save_mbps": round(size_mb / t_save, 1),
         "load_mbps": round(size_mb / t_load, 1),
     }
