@@ -310,3 +310,21 @@ def test_protocol_driver_yields_to_bench_priority(priopath, monkeypatch):
     finally:
         child.terminate()
         child.wait()
+
+
+def test_priority_staleness_covers_bench_child_window():
+    """The staleness bound must outlive one whole bench.py measurement
+    child: while blocked in run_term_bounded the bench cannot refresh the
+    flag, and a bound shorter than the child window makes lane drivers
+    delete the flag MID-MEASUREMENT and spawn TPU children into the
+    bench's client (observed failure mode, fixed 2026-08-19).  Worst
+    case: CHILD_BUDGET_S + 120 (parent bound) + ~180 s TERM grace."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_root", os.path.join(os.path.dirname(__file__), "..",
+                                   "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    worst_child_window = bench.CHILD_BUDGET_S + 120 + 180
+    assert _tpulock.PRIORITY_MAX_AGE_S > worst_child_window + 120
