@@ -394,7 +394,10 @@ def stage_bond_sweep(
 
     results = []
     for dim in bond_dims:
-        g = parse_graph(mps_graph(n_qubits, dim=dim))
+        # phys=2 decouples the boundary ranks from D (CLAUDE.md: the
+        # coupled default grows cores as D^4 — 22 GB of HLO temps at
+        # D=64 on 32 qubits, an HBM compile OOM on the tunnel)
+        g = parse_graph(mps_graph(n_qubits, dim=dim, phys=2))
         k1, k2 = jax.random.split(jrandom.PRNGKey(0))
         target = init_params(g, k1, jnp.float32)
         params = {
