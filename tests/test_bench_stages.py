@@ -231,3 +231,15 @@ class TestBatchedCompare:
                 returncode=-15, stdout=""))
         with pytest.raises(RuntimeError, match="produced no result"):
             bc._run_flagship(self._args(), batched=False)
+
+
+def test_run_stage_respects_explicit_verdict():
+    """A stage that returns its child's failure record must stay red —
+    _run_stage stamping ok=True turned a refused flagship child (rc=4)
+    into a green suite row."""
+    from tneq_tpu.bench.run_all import _run_stage
+
+    rec = _run_stage("x", lambda: {"stage": "x", "ok": False, "rc": 4}, 30)
+    assert rec["ok"] is False and rec["rc"] == 4
+    rec = _run_stage("y", lambda: {"stage": "y"}, 30)
+    assert rec["ok"] is True

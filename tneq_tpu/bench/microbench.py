@@ -508,21 +508,46 @@ def stage_fsdp_memory(
 def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
     """Flagship 32q x 5c network-mode run via the channel-protocol-safe
     subprocess runner (``bench/flagship.py``).  Long: select explicitly
-    (``--stages 9 --timeout 3200``)."""
+    (``--stages 9 --timeout 3200``).
+
+    The measurement happens in a CHILD process; this process only holds
+    the suite's channel registration.  Two rules follow: (1) if THIS
+    process already opened a device client (an in-process multi-stage
+    run), spawning a second client would risk wedging the tunnel — skip
+    and point at ``--isolate``; (2) otherwise disable the child's lock
+    check (``TNEQ_TPU_LOCK=0``): the suite child's own registration
+    covers the channel, and the grandchild refusing against its ancestor
+    was a structural self-conflict (recorded rc=4 'successes')."""
+    import os
     import sys
 
     from ._subproc import run_term_bounded
 
+    try:  # private but stable: the map of live PJRT clients
+        from jax._src.xla_bridge import _backends as _live_clients
+    except ImportError:  # pragma: no cover - jax internals moved
+        _live_clients = {}
+    if _live_clients and jax.devices()[0].platform != "cpu":
+        return {
+            "stage": "flagship_32q",
+            "skipped": "in-process device client live; a subprocess "
+                       "flagship would be a second tunnel client — run "
+                       "this stage isolated (--isolate --stages 9)",
+        }
+
+    env = dict(os.environ, TNEQ_TPU_LOCK="0")
     r = run_term_bounded(
         [sys.executable, "-m", "tneq_tpu.bench.flagship", "--mode", "32q",
          "--validate-steps", str(validate_steps), "--prune-steps", "500"],
-        timeout=3200, capture_stderr=True,
+        timeout=3200, capture_stderr=True, env=env,
     )
     import json as _json
 
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
     rec = _json.loads(line)
     rec["stage"] = "flagship_32q"
+    # a child failure record ({"ok": false, "rc": N}) keeps ok=False in
+    # the summary (run_all._run_stage respects an explicit verdict)
     return rec
 
 

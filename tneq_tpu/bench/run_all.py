@@ -40,7 +40,10 @@ def _run_stage(name, fn, timeout_s: int):
     try:
         rec = fn()
         rec["wall_time_s"] = round(time.time() - t0, 2)
-        rec["ok"] = True
+        # respect an explicit verdict from the stage (e.g. a subprocess
+        # stage propagating its child's failure record) — stamping True
+        # here turned a refused flagship child (rc=4) into a green row
+        rec["ok"] = rec.get("ok", True)
         return rec
     except StageTimeout:
         return {"stage": name, "ok": False, "error": f"timeout after {timeout_s}s"}
