@@ -8,9 +8,11 @@ END=${AC_END:-$(date -u -d 'today 15:05' +%s)}
 
 while [ "$(date +%s)" -lt "$END" ]; do
   sleep 300
-  git add FLAGSHIP_protocol_pair.json FLAGSHIP_protocol_regen_cpu.json \
-          FLAGSHIP_protocol_compare.json bench_results .lane_cache \
-          MPS_FLAGSHIP_D512_r04.json 2>/dev/null
+  for f in FLAGSHIP_protocol_pair.json FLAGSHIP_protocol_regen_cpu.json \
+           FLAGSHIP_protocol_compare.json bench_results .lane_cache \
+           MPS_FLAGSHIP_D512_r04.json; do
+    git add -- "$f" 2>/dev/null || true
+  done
   if ! git diff --cached --quiet 2>/dev/null; then
     T=$(python -c "import json;print(len(json.load(open('FLAGSHIP_protocol_pair.json'))['runs']))" 2>/dev/null || echo '?')
     R=$(python -c "import json;print(len(json.load(open('FLAGSHIP_protocol_regen_cpu.json'))['runs']))" 2>/dev/null || echo '?')
