@@ -277,9 +277,12 @@ def main():
     request_priority("bench.py driver run")
 
     jax_sps, device = None, None
-    # deadline must outlive one full protocol restart: a flagship child
-    # runs with --budget up to 5400s and only yields BETWEEN children
-    deadline = time.time() + 6000
+    # lane children now yield MID-RUN at their next fit-chunk boundary
+    # (install_lane_yield, VERDICT r4 #1): expected wait is ~one chunk
+    # dispatch + teardown, not a whole 7-55 min restart.  2400s bounds the
+    # wait well inside the driver window while still covering a degraded
+    # channel's slow teardown + our own patient first fetch
+    deadline = time.time() + 2400
     attempts = 0
     while attempts < TPU_ATTEMPTS and time.time() < deadline:
         request_priority("bench.py driver run")  # keep the flag fresh

@@ -24,7 +24,14 @@ import time
 
 __all__ = ["TpuBusy", "holder", "acquire", "guard", "register_cli",
            "LOCK_PATH", "PRIORITY_PATH", "request_priority",
-           "clear_priority", "priority_requested"]
+           "clear_priority", "priority_requested", "install_lane_yield",
+           "YIELDED_RC"]
+
+# exit code for "yielded the channel mid-run to a bench-priority flag":
+# like the busy-exit 4, it means NO measurement failed — but unlike 4,
+# work DID start and was discarded, so callers wait for the flag to clear
+# and then re-run the same unit (see flagship_protocol, run_all).
+YIELDED_RC = 5
 
 LOCK_PATH = "/tmp/tneq_tpu_client.lock"
 PRIORITY_PATH = "/tmp/tneq_tpu_bench_priority.flag"
@@ -197,6 +204,46 @@ def priority_requested() -> dict | None:
             os.unlink(path)
         return None
     return info
+
+
+def install_lane_yield(min_interval_s: float = 5.0) -> None:
+    """Make this lane child's fit loops yield to a live bench-priority flag.
+
+    VERDICT r4 missing-#1: the round-end ``bench.py`` starved >90 min
+    behind ONE in-flight flagship restart because the priority flag was
+    only consulted *between* children.  This installs a rate-limited
+    checker into the chunk-boundary hook (``utils/coop``) that the host
+    fit loops poll once per jitted chunk dispatch: when a live, fresh
+    priority flag appears, the next boundary raises
+    ``coop.YieldInterrupt`` and the entry point exits with
+    :data:`YIELDED_RC` so the channel frees within ~one chunk.
+
+    No-op installs nothing when the process is CPU-forced
+    (``TNEQ_PLATFORM=cpu``) or is one of the bench's own children
+    (``TNEQ_TPU_PRIORITY_OK=1`` — ``priority_requested`` is already None
+    there, but skipping the install keeps the hot loop hook-free), or
+    when ``TNEQ_TPU_LANE_YIELD=0`` explicitly opts out.
+    """
+    if os.environ.get("TNEQ_PLATFORM", "").lower() == "cpu":
+        return
+    if os.environ.get("TNEQ_TPU_PRIORITY_OK", "") == "1":
+        return
+    if os.environ.get("TNEQ_TPU_LANE_YIELD", "1") == "0":
+        return
+    from ..utils.coop import YieldInterrupt, install_poll_hook
+
+    state = {"t": 0.0}
+
+    def check() -> None:
+        now = time.time()
+        if now - state["t"] < min_interval_s:
+            return
+        state["t"] = now
+        prio = priority_requested()
+        if prio is not None:
+            raise YieldInterrupt(prio)
+
+    install_poll_hook(check)
 
 
 @contextlib.contextmanager

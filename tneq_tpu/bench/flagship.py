@@ -395,7 +395,7 @@ def attempt(args) -> int:
         # BUSY instead of a false DOWN while this child is live)
         import atexit
 
-        from ._tpulock import TpuBusy, acquire
+        from ._tpulock import TpuBusy, acquire, install_lane_yield
 
         try:
             release = acquire(f"flagship-attempt mode={args.mode} "
@@ -407,6 +407,11 @@ def attempt(args) -> int:
             log(f"TPU channel BUSY: {e} — refusing a second client")
             return 4
         atexit.register(release)
+        # a restart holds the channel 7-55 min; let the round-end bench
+        # preempt us at the next fit-chunk boundary (VERDICT r4 #1)
+        install_lane_yield()
+    from tneq_tpu.utils.coop import YieldInterrupt
+
     try:
         _alarm(args.budget)
         dev = _first_fetch()
@@ -418,6 +423,10 @@ def attempt(args) -> int:
     except Timeout:
         log("flagship attempt timed out (clean exit)")
         return 2
+    except YieldInterrupt as e:
+        signal.alarm(0)
+        log(f"flagship attempt YIELDED mid-run: {e}")
+        return 5  # _tpulock.YIELDED_RC: channel freed, restart discarded
     except Exception as e:
         log(f"flagship attempt failed: {type(e).__name__}: {str(e)[:200]}")
         return 1
@@ -496,7 +505,10 @@ def main(argv=None) -> int:
             print(line[len("RESULT "):])
             return 0
     print(json.dumps({"ok": False, "mode": args.mode, "rc": r.returncode}))
-    return 1
+    # propagate the non-measurement conventions (4=busy refusal, 5=yielded
+    # mid-run to bench priority) so callers can wait-and-re-drive instead
+    # of recording a failure
+    return r.returncode if r.returncode in (4, 5) else 1
 
 
 if __name__ == "__main__":

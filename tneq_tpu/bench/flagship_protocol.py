@@ -244,7 +244,15 @@ def run_protocol(args, runner=None) -> dict:
             state["wall_budget_exhausted"] = True
             break
         landed = False
-        for attempt in range(1 + args.retries):
+        attempt = 0
+        yields = 0
+        # rc 4/5 children are non-measurements (busy / yielded to bench
+        # priority): they must not consume the per-seed retry budget, or
+        # one long bench run would burn every attempt and skip the seed —
+        # but they ARE bounded (deadline + this cap) so a stuck flag
+        # cannot spin forever on a wall-unbounded invocation
+        max_yields = 20
+        while attempt < 1 + args.retries and yields < max_yields:
             if deadline and time.time() > deadline:
                 state["wall_budget_exhausted"] = True
                 break
@@ -254,6 +262,7 @@ def run_protocol(args, runner=None) -> dict:
                 # minutes to come back; CLAUDE.md)
                 log(f"waiting {args.retry_wait}s before the next attempt")
                 time.sleep(args.retry_wait)
+                prev_failed = False
             if _yield_to_bench(args, deadline):
                 state["wall_budget_exhausted"] = True
                 break
@@ -276,16 +285,24 @@ def run_protocol(args, runner=None) -> dict:
                 state["stopped_on_abandoned_child"] = True
                 _save_state(args.out, state)
                 return state
-            if r.returncode == 4:
-                # the child refused to start (channel busy, or yielded to
-                # a bench-priority flag posted after our top-of-loop
-                # check) — nothing ran, so this is not a failed
-                # measurement; wait and re-enter the attempt loop, whose
-                # yield wait absorbs a posted priority flag
-                log("child refused to start (channel busy/yielded); "
-                    "not recording a failure")
+            if r.returncode in (4, 5):
+                # 4: the child refused to start (channel busy, or a
+                #    priority flag posted after our top-of-loop check);
+                # 5: the child YIELDED mid-run to a bench-priority flag
+                #    (partial restart discarded, channel freed within one
+                #    chunk — VERDICT r4 #1).
+                # Neither is a failed measurement; wait (the top-of-loop
+                # _yield_to_bench absorbs a live flag) and retry the SAME
+                # seed without consuming a measurement attempt.
+                yields += 1
+                log("child "
+                    + ("yielded mid-run to bench priority"
+                       if r.returncode == 5
+                       else "refused to start (channel busy/yielded)")
+                    + "; not recording a failure")
                 time.sleep(30)
                 continue
+            attempt += 1
             rec = None
             outcome = f"rc={r.returncode}"
             for line in r.stdout.splitlines():

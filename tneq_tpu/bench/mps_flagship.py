@@ -42,6 +42,23 @@ def _bail(sig, frm):
 
 
 def main(argv=None) -> int:
+    """Wrapper: a mid-run bench-priority yield exits with the shared
+    YIELDED_RC (5) convention — channel freed within one chunk, partial
+    run discarded, caller re-drives after the flag clears."""
+    try:
+        return _main(argv)
+    except Exception as e:
+        from tneq_tpu.utils.coop import YieldInterrupt
+
+        if isinstance(e, YieldInterrupt):
+            print(f"mps_flagship YIELDED mid-run: {e}", file=sys.stderr,
+                  flush=True)
+            signal.alarm(0)
+            return 5
+        raise
+
+
+def _main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--qubits", type=int, default=32)
     ap.add_argument("--dim", type=int, default=128, help="MPS bond dim")
@@ -103,9 +120,10 @@ def main(argv=None) -> int:
         # (the tests/conftest.py pattern, same as bench/flagship.py)
         os.environ["TNEQ_PLATFORM"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
-    from ._tpulock import register_cli
+    from ._tpulock import install_lane_yield, register_cli
 
     register_cli(f"mps_flagship q={args.qubits} D={args.dim}")
+    install_lane_yield()  # preemptible by the round-end bench (r4 #1)
     import jax.numpy as jnp
 
     t0 = time.time()

@@ -77,7 +77,7 @@ def _run_isolated(selected, out_dir: Path, timeout_s: int) -> int:
                 notified = True
             time.sleep(30)
         print(f"=== {name} (isolated) ===", flush=True)
-        for attempt in range(2):
+        for attempt in range(4):
             r = run_term_bounded(
                 [sys.executable, "-m", "tneq_tpu.bench.run_all",
                  "--stages", name, "--out", str(out_dir),
@@ -87,6 +87,20 @@ def _run_isolated(selected, out_dir: Path, timeout_s: int) -> int:
             if r.returncode == 4:
                 print("  channel busy; retrying in 60s", flush=True)
                 time.sleep(60)
+                continue
+            # a stage whose measurement child YIELDED mid-run to a
+            # bench-priority flag records rc=5 in its row (flagship main
+            # propagates it); that is not a failure — wait for the flag
+            # to clear, then re-drive the stage
+            try:
+                row = json.loads((out_dir / f"{name}.json").read_text())
+            except (OSError, ValueError):
+                row = {}
+            if row.get("rc") == 5 and not row.get("ok"):
+                print("  stage yielded to bench priority; waiting for "
+                      "the flag to clear", flush=True)
+                while priority_requested() is not None:
+                    time.sleep(30)
                 continue
             break
         rec_path = out_dir / f"{name}.json"

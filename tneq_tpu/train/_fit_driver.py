@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import coop
+
 __all__ = ["FitDrivers"]
 
 
@@ -142,6 +144,7 @@ class FitDrivers:
         while steps < self.max_steps and bool(
             self.running(np.asarray(metric))
         ):
+            coop.poll()  # mid-run bench-priority yield point (utils/coop)
             params, opt_state, metric = self.chunk(k)(
                 params, opt_state, mask, *shared
             )
@@ -159,6 +162,7 @@ class FitDrivers:
         while steps < self.max_steps and bool(
             self.running(np.asarray(metric))
         ):
+            coop.poll()
             for _ in range(min(k, self.max_steps - steps)):
                 params, opt_state, metric = one(
                     params, opt_state, mask, *shared
@@ -188,6 +192,7 @@ class FitDrivers:
         while steps < self.max_steps and bool(
             np.asarray(self.running(np.asarray(metric_b))).any()
         ):
+            coop.poll()
             params_b, opt_state_b, metric_b = bc(
                 params_b, opt_state_b, masks, *shared
             )
