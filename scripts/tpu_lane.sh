@@ -1,16 +1,24 @@
 #!/bin/bash
-# TPU work lane (round 4): strictly serialized channel work, resumable
+# TPU work lane (round 5): strictly serialized channel work, resumable
 # across reboots (state lives in committed JSON artifacts; this script is
 # committed so a fresh session can re-arm with scripts/rearm.sh).
 #
-# Queue: 1) suite stage 9 re-drive (only stage still red)
-#        2) flagship protocol extension to 20 TPU seeds (wall-bounded)
-#        3) D=512 MPS flagship (physics at the bf16 knee), if wall remains
+# Children are PREEMPTIBLE: every lane child installs the mid-run
+# bench-priority yield (install_lane_yield), so a round-end bench.py run
+# acquires the channel within ~one fit chunk instead of waiting out a
+# 7-55 min restart (VERDICT r4 #1).
 #
-# Env: TPU_WALL_END (epoch seconds) — default 14:40 UTC today.
+# Queue: 1) suite stage 9 re-drive (only stage still red; bigger child
+#           timeout after the r4 3126s TERM)
+#        2) flagship protocol toward 20 TPU seeds, phase 1
+#        3) pallas_decision (the promised PARITY.md L2 evidence artifact)
+#        4) D=512 bf16-knee MPS flagship (VERDICT r5 item 6)
+#        5) protocol resume until the wall
+#
+# Env: TPU_WALL_END (epoch seconds) — default 18:20 UTC today.
 set -u
 cd /root/repo
-WALL_END=${TPU_WALL_END:-$(date -u -d 'today 14:40' +%s)}
+WALL_END=${TPU_WALL_END:-$(date -u -d 'today 18:20' +%s)}
 mkdir -p .lane_cache
 
 remaining() { echo $(( WALL_END - $(date +%s) )); }
@@ -30,39 +38,62 @@ EOF
 then
   echo "[tpu_lane] stage 9 already green; skipping"
 else
-  echo "[tpu_lane] re-driving suite stage 9 (isolated)"
+  echo "[tpu_lane] re-driving suite stage 9 (isolated, timeout 5600)"
   python -m tneq_tpu.bench.run_all --stages 9 --isolate \
-    --out bench_results --timeout 5400
+    --out bench_results --timeout 5600
   echo "[tpu_lane] stage 9 exit $?"
 fi
 
-# --- 2. TPU protocol to 20 seeds ------------------------------------------
-AFTER=""
-while true; do
-  REM=$(remaining)
-  if [ "$REM" -lt 1200 ]; then echo "[tpu_lane] wall reached"; break; fi
-  python -m tneq_tpu.bench.flagship_protocol --mode pair --restarts 20 \
-    --out FLAGSHIP_protocol_pair.json \
-    --target-cache .lane_cache/target_pair.pkl \
-    --wall-budget "$REM" --retries 2 --retry-wait 600 $AFTER
-  rc=$?
-  if [ $rc -eq 3 ]; then
-    # stopped on an abandoned-but-alive child: wait it out, then resume
-    echo "[tpu_lane] abandoned child; waiting 900s before --after-abandon"
-    sleep 900
-    AFTER="--after-abandon"
-    continue
-  fi
-  break
-done
+# --- helper: run the protocol until a given wall -------------------------
+run_protocol_until() {
+  local until_s=$1
+  local AFTER=""
+  while true; do
+    local REM=$(( until_s - $(date +%s) ))
+    if [ "$REM" -lt 1200 ]; then echo "[tpu_lane] protocol phase wall reached"; return 0; fi
+    python -m tneq_tpu.bench.flagship_protocol --mode pair --restarts 20 \
+      --out FLAGSHIP_protocol_pair.json \
+      --target-cache .lane_cache/target_pair.pkl \
+      --wall-budget "$REM" --retries 2 --retry-wait 600 $AFTER
+    rc=$?
+    if [ $rc -eq 3 ]; then
+      echo "[tpu_lane] abandoned child; waiting 900s before --after-abandon"
+      sleep 900
+      AFTER="--after-abandon"
+      continue
+    fi
+    return $rc
+  done
+}
 
-# --- 3. D=512 MPS flagship if the protocol finished early ------------------
+# --- 2. TPU protocol phase 1 (until wall-9000s, leaving room for 3+4) ----
+PHASE1_END=$(( WALL_END - 9000 ))
+run_protocol_until "$PHASE1_END"
+
 COMPLETE=$(python -c "import json;print(json.load(open('FLAGSHIP_protocol_pair.json')).get('complete'))" 2>/dev/null)
-REM=$(remaining)
-if [ "$COMPLETE" = "True" ] && [ "$REM" -gt 3600 ]; then
-  echo "[tpu_lane] protocol complete; running D=512 MPS flagship"
+
+# --- 3. pallas_decision (one TPU window, alarm-bounded) -------------------
+if [ ! -f PALLAS_DECISION_r05.json ] && [ "$(remaining)" -gt 3000 ]; then
+  echo "[tpu_lane] pallas_decision"
+  python -m tneq_tpu.bench.pallas_decision --out PALLAS_DECISION_r05.json
+  echo "[tpu_lane] pallas_decision exit $?"
+fi
+
+# --- 4. D=512 MPS flagship (physics at the bf16 knee) ---------------------
+if [ ! -f MPS_FLAGSHIP_D512_r05.json ] && [ "$(remaining)" -gt 3600 ]; then
+  echo "[tpu_lane] D=512 MPS flagship"
+  # 'default' = single-pass bf16 MXU: the knee where r03 measured
+  # 104.9 TFLOP/s on this exact step; the >=0.5 practical_util target
+  # (VERDICT r5 #6) is unreachable at the 3-pass 'high' rate
   python -m tneq_tpu.bench.mps_flagship --qubits 32 --dim 512 \
-    --precision default --out MPS_FLAGSHIP_D512_r04.json || true
+    --precision default --sync-every 512 --budget 3000 \
+    --out MPS_FLAGSHIP_D512_r05.json
+  echo "[tpu_lane] mps_flagship exit $?"
+fi
+
+# --- 5. protocol resume until the wall ------------------------------------
+if [ "$COMPLETE" != "True" ]; then
+  run_protocol_until "$WALL_END"
 fi
 
 echo "[tpu_lane] done $(date -u +%T)"

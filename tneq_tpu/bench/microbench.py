@@ -536,18 +536,34 @@ def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
         }
 
     env = dict(os.environ, TNEQ_TPU_LOCK="0")
+    # child budget must absorb a patient first fetch (has blocked ~900s)
+    # PLUS the 600-step 32q validate + 500-step prune: the old 3200s
+    # timeout TERMed the child at 3126s on a degraded channel (the r4
+    # red stage 9); select with --timeout >= 5600 so the stage alarm
+    # stays outside this bound
+    child_timeout = 4500
+    import time as _time
+
+    t0 = _time.time()
     r = run_term_bounded(
         [sys.executable, "-m", "tneq_tpu.bench.flagship", "--mode", "32q",
-         "--validate-steps", str(validate_steps), "--prune-steps", "500"],
-        timeout=3200, capture_stderr=True, env=env,
+         "--validate-steps", str(validate_steps), "--prune-steps", "500",
+         "--budget", str(child_timeout - 200)],
+        timeout=child_timeout, capture_stderr=True, env=env,
     )
     import json as _json
 
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
     rec = _json.loads(line)
-    rec["stage"] = "flagship_32q"
     # a child failure record ({"ok": false, "rc": N}) keeps ok=False in
-    # the summary (run_all._run_stage respects an explicit verdict)
+    # the summary (run_all._run_stage respects an explicit verdict);
+    # stamp a human-readable note so the standalone artifact stays
+    # self-describing (ADVICE r4)
+    if not rec.get("ok", True) and "error" not in rec:
+        rec["error"] = (
+            f"flagship child rc={r.returncode} after "
+            f"{_time.time() - t0:.0f}s (child timeout {child_timeout}s)"
+        )
     return rec
 
 

@@ -44,6 +44,10 @@ def _run_stage(name, fn, timeout_s: int):
         # stage propagating its child's failure record) — stamping True
         # here turned a refused flagship child (rc=4) into a green row
         rec["ok"] = rec.get("ok", True)
+        # the suite stage id is authoritative: a stage fn's internal key
+        # (e.g. 'flagship_32q') must not leak into the '9_flagship_32q'
+        # artifact/summary namespace (ADVICE r4)
+        rec["stage"] = name
         return rec
     except StageTimeout:
         return {"stage": name, "ok": False, "error": f"timeout after {timeout_s}s"}
