@@ -10,7 +10,7 @@ while [ "$(date +%s)" -lt "$END" ]; do
   sleep 300
   for f in FLAGSHIP_protocol_pair.json FLAGSHIP_protocol_regen_cpu.json \
            FLAGSHIP_protocol_compare.json bench_results .lane_cache \
-           MPS_FLAGSHIP_D512_r04.json; do
+           MPS_FLAGSHIP_D512_r05.json PALLAS_DECISION_r05.json BATCHED_COMPARE_r05.json STIEFEL_STALL_r05.json GA_recover_r05.json BENCH_PREEMPT_r05.json; do
     git add -- "$f" 2>/dev/null || true
   done
   if ! git diff --cached --quiet 2>/dev/null; then
