@@ -63,8 +63,10 @@ class SymmetryBreakingConfig:
     # fit optimizer: 'sgdg' (Stiefel SGD-G, the reference protocol) or any
     # optim.factory method ('adam', 'sgd', ...).  MPS-topology fits NEED an
     # unconstrained optimizer: the Stiefel-constrained fidelity flow on
-    # chain cores stalls at F~0.85 critical points where adam reaches
-    # 1-F < 1e-3 in a few hundred steps (tests/test_mps_symmetry.py)
+    # chain cores stalls at lr-independent critical points (F≈0.70-0.74
+    # over lrs 0.1/0.03/0.01 x 2 seeds at 12q D=8) where adam reaches
+    # 1-F < 1e-3 — measured in STIEFEL_STALL_r05.json
+    # (bench/stiefel_stall.py); brick-wall fits converge under SGD-G
     optimizer: str = "sgdg"
     # jax.default_matmul_precision for every fit program: 'highest'
     # (multi-pass full-f32, the small-core flagship default — bf16 noise
