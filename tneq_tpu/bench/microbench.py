@@ -535,13 +535,16 @@ def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
                        "this stage isolated (--isolate --stages 9)",
         }
 
+    # stage-9 history: NEVER green — timeouts at 400s/1500s/3126s/4314s.
+    # The 32q x 5c brick wall is a 160-core row-scan program whose remote
+    # compile dominates the child's wall; the persistent XLA compile
+    # cache (TNEQ_COMPILE_CACHE, tneq_tpu/__init__.py) makes repeat
+    # attempts reuse the compiled executables, so the budget only has to
+    # cover compile ONCE across re-drives
     env = dict(os.environ, TNEQ_TPU_LOCK="0")
-    # child budget must absorb a patient first fetch (has blocked ~900s)
-    # PLUS the 600-step 32q validate + 500-step prune: the old 3200s
-    # timeout TERMed the child at 3126s on a degraded channel (the r4
-    # red stage 9); select with --timeout >= 5600 so the stage alarm
-    # stays outside this bound
-    child_timeout = 4500
+    env.setdefault("TNEQ_COMPILE_CACHE",
+                   os.path.abspath(".lane_cache/xla_cache"))
+    child_timeout = 5400
     import time as _time
 
     t0 = _time.time()
@@ -557,13 +560,16 @@ def stage_flagship_32q(validate_steps: int = 600, **_) -> Dict[str, Any]:
     rec = _json.loads(line)
     # a child failure record ({"ok": false, "rc": N}) keeps ok=False in
     # the summary (run_all._run_stage respects an explicit verdict);
-    # stamp a human-readable note so the standalone artifact stays
-    # self-describing (ADVICE r4)
-    if not rec.get("ok", True) and "error" not in rec:
-        rec["error"] = (
-            f"flagship child rc={r.returncode} after "
-            f"{_time.time() - t0:.0f}s (child timeout {child_timeout}s)"
-        )
+    # stamp a human-readable note + the child's stderr tail so a red
+    # stage is self-diagnosing (the r4/r5 re-drives burned channel hours
+    # without recording WHERE the time went)
+    if not rec.get("ok", True):
+        if "error" not in rec:
+            rec["error"] = (
+                f"flagship child rc={r.returncode} after "
+                f"{_time.time() - t0:.0f}s (child timeout {child_timeout}s)"
+            )
+        rec["stderr_tail"] = (r.stderr or "").splitlines()[-15:]
     return rec
 
 
